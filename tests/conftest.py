@@ -1,0 +1,20 @@
+"""Test harness bootstrap.
+
+Tests run on CPU with 8 virtual XLA devices so sharding/collective tests work
+without TPU hardware (SURVEY.md §4). This environment force-registers a TPU
+backend (axon) from sitecustomize and pins ``jax_platforms`` to it, so we
+override the platform selection back to CPU before any backend initializes.
+"""
+
+import os
+import sys
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
