@@ -1,0 +1,118 @@
+"""Multi-head attention with (relative) positional encoding.
+
+Behavior-compatible with the reference's ESPnet-style attention
+(jatts/modules/transformer/attention.py:15-305) but TPU-native:
+the Transformer-XL ``rel_shift`` pad/reshape trick is replaced by a direct
+gather with a static index map (same result, XLA-friendly), and all masking
+is additive with finite negatives (no NaN-prone -inf arithmetic).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+_MASK_VAL = -1e9
+
+
+def _split_heads(x: jnp.ndarray, h: int) -> jnp.ndarray:
+    b, t, d = x.shape
+    return x.reshape(b, t, h, d // h).transpose(0, 2, 1, 3)  # [B, H, T, d_k]
+
+
+def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    b, h, t, dk = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, t, h * dk)
+
+
+class MultiHeadedAttention(nn.Module):
+    """Vanilla MHA (reference attention.py:15-111)."""
+
+    n_head: int
+    n_feat: int
+    dropout_rate: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, query, key, value, mask=None, deterministic: bool = True):
+        d_k = self.n_feat // self.n_head
+        q = _split_heads(nn.Dense(self.n_feat, dtype=self.dtype, name="linear_q")(query), self.n_head)
+        k = _split_heads(nn.Dense(self.n_feat, dtype=self.dtype, name="linear_k")(key), self.n_head)
+        v = _split_heads(nn.Dense(self.n_feat, dtype=self.dtype, name="linear_v")(value), self.n_head)
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(
+            jnp.asarray(d_k, q.dtype)
+        )
+        x = _attend(scores, v, mask, self.dropout_rate, deterministic)
+        return nn.Dense(self.n_feat, dtype=self.dtype, name="linear_out")(_merge_heads(x))
+
+
+def _attend(scores, v, mask, dropout_rate, deterministic):
+    """Masked softmax + value contraction (reference forward_attention,
+    attention.py:69-98): masked keys get zero attention weight."""
+    if mask is not None:
+        # mask: [B, 1, T_k] or [B, T_q, T_k] -> broadcast over heads
+        m = mask[:, None] if mask.ndim == 3 else mask[:, None, None, :]
+        scores = jnp.where(m, scores, _MASK_VAL)
+        attn = nn.softmax(scores, axis=-1)
+        attn = jnp.where(m, attn, 0.0)
+    else:
+        attn = nn.softmax(scores, axis=-1)
+    attn = nn.Dropout(rate=dropout_rate, name="dropout")(attn, deterministic=deterministic) if dropout_rate > 0 else attn
+    return jnp.einsum("bhqk,bhkd->bhqd", attn.astype(v.dtype), v)
+
+
+def rel_shift_gather(matrix_bd: jnp.ndarray, t_k: int) -> jnp.ndarray:
+    """Map ``[B, H, T_q, 2*T_q-1]`` scores over relative positions to
+    ``[B, H, T_q, T_k]`` aligned scores.
+
+    ``pos_emb`` index ``p`` encodes relative position ``T_q-1-p``; attention
+    needs relative position ``i-j``, i.e. ``p = T_q-1-i+j``. Equivalent to the
+    reference's pad/reshape ``rel_shift`` (attention.py:246-260).
+    """
+    t_q = matrix_bd.shape[2]
+    i = jnp.arange(t_q)[:, None]
+    j = jnp.arange(t_k)[None, :]
+    idx = (t_q - 1) - i + j  # [T_q, T_k]
+    return jnp.take_along_axis(
+        matrix_bd, idx[None, None].astype(jnp.int32), axis=-1
+    )
+
+
+class RelPositionMultiHeadedAttention(nn.Module):
+    """Transformer-XL style rel-pos MHA (reference attention.py:209-305)."""
+
+    n_head: int
+    n_feat: int
+    dropout_rate: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, query, key, value, pos_emb, mask=None, deterministic: bool = True):
+        d_k = self.n_feat // self.n_head
+        q = _split_heads(nn.Dense(self.n_feat, dtype=self.dtype, name="linear_q")(query), self.n_head)
+        k = _split_heads(nn.Dense(self.n_feat, dtype=self.dtype, name="linear_k")(key), self.n_head)
+        v = _split_heads(nn.Dense(self.n_feat, dtype=self.dtype, name="linear_v")(value), self.n_head)
+
+        # pos_emb: [1, 2*T_q-1, n_feat]
+        p = _split_heads(
+            nn.Dense(self.n_feat, use_bias=False, dtype=self.dtype, name="linear_pos")(pos_emb),
+            self.n_head,
+        )  # [1, H, 2T-1, d_k]
+
+        pos_bias_u = self.param(
+            "pos_bias_u", nn.initializers.xavier_uniform(), (self.n_head, d_k)
+        ).astype(self.dtype)
+        pos_bias_v = self.param(
+            "pos_bias_v", nn.initializers.xavier_uniform(), (self.n_head, d_k)
+        ).astype(self.dtype)
+
+        q_u = q + pos_bias_u[None, :, None, :]
+        q_v = q + pos_bias_v[None, :, None, :]
+
+        matrix_ac = jnp.einsum("bhqd,bhkd->bhqk", q_u, k)
+        matrix_bd = jnp.einsum("bhqd,xhpd->bhqp", q_v, p)  # x==1 broadcast
+        matrix_bd = rel_shift_gather(matrix_bd, k.shape[2])
+
+        scores = (matrix_ac + matrix_bd) / jnp.sqrt(jnp.asarray(d_k, q.dtype))
+        x = _attend(scores, v, mask, self.dropout_rate, deterministic)
+        return nn.Dense(self.n_feat, dtype=self.dtype, name="linear_out")(_merge_heads(x))
