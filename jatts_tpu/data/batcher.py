@@ -1,0 +1,182 @@
+"""Bucketed static-shape batching.
+
+TPU-native replacement for the reference's DataLoader + pad-to-batch-max
+collaters (jatts/collaters/fastspeech2.py:11-107) and the E2-TTS
+``DynamicBatchSampler`` (jatts/datasets/tts_dataset.py:215-299): batches are
+padded up to *bucket boundaries* (rounded maxima) so XLA compiles a small,
+fixed set of programs instead of one per batch shape.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+
+def round_up(x: int, m: int) -> int:
+    return int(math.ceil(max(x, 1) / m) * m)
+
+
+class BatchSampler:
+    """Sort-by-length, fixed batch size, seeded per-epoch shuffle of batch
+    order (keeps shape buckets while still randomizing)."""
+
+    def __init__(
+        self,
+        lengths: Sequence[int],
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = False,
+    ):
+        self.lengths = list(lengths)
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        order = np.argsort(np.asarray(self.lengths), kind="stable")
+        self.batches: List[List[int]] = [
+            list(order[i : i + batch_size]) for i in range(0, len(order), batch_size)
+        ]
+        if drop_last and self.batches and len(self.batches[-1]) < batch_size:
+            self.batches.pop()
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __len__(self) -> int:
+        return len(self.batches)
+
+    def __iter__(self) -> Iterator[List[int]]:
+        batches = list(self.batches)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(batches)
+        return iter(batches)
+
+
+class DynamicBatchSampler:
+    """Frame-budget batching (reference tts_dataset.py:215-299): sort by
+    length, greedily pack until ``frames_threshold`` frames or
+    ``max_samples`` utts; sequences over the threshold are dropped."""
+
+    def __init__(
+        self,
+        lengths: Sequence[int],
+        frames_threshold: int,
+        max_samples: int = 0,
+        shuffle: bool = True,
+        seed: int = 0,
+    ):
+        order = np.argsort(np.asarray(lengths), kind="stable")
+        self.batches = []
+        batch: List[int] = []
+        frames = 0
+        for idx in order:
+            l = lengths[idx]
+            if l > frames_threshold:
+                continue  # reference drops silently; we count
+            if frames + l > frames_threshold or (max_samples and len(batch) == max_samples):
+                if batch:
+                    self.batches.append(batch)
+                batch, frames = [], 0
+            batch.append(int(idx))
+            frames += l
+        if batch:
+            self.batches.append(batch)
+        self.shuffle = shuffle
+        self.seed = seed
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __len__(self) -> int:
+        return len(self.batches)
+
+    def __iter__(self) -> Iterator[List[int]]:
+        batches = list(self.batches)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(batches)
+        return iter(batches)
+
+
+def _pad_to(x: np.ndarray, t: int) -> np.ndarray:
+    pad = [(0, t - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+    return np.pad(x, pad)
+
+
+class FastSpeech2Collater:
+    """Pads a list of dataset items into one static-shape numpy batch
+    (reference jatts/collaters/fastspeech2.py:11-107, bucket-rounded).
+
+    Emits: xs [B,Tx], ilens, ys [B,Ty,D], olens, and — when present —
+    durations [B,Tx], pitch/energy [B,Tx,1], spkembs [B,D].
+    """
+
+    def __init__(
+        self,
+        pad_text_multiple: int = 16,
+        pad_feats_multiple: int = 64,
+        out_feat_type: str = "mel",
+    ):
+        self.pad_text_multiple = pad_text_multiple
+        self.pad_feats_multiple = pad_feats_multiple
+        self.out_feat_type = out_feat_type
+
+    def __call__(self, items: List[Dict[str, Any]]) -> Dict[str, Any]:
+        xs = [it["x"] for it in items]
+        ilens = np.asarray([len(x) for x in xs], np.int32)
+        t_text = round_up(int(ilens.max()), self.pad_text_multiple)
+        batch: Dict[str, Any] = {
+            "utt_ids": [it.get("utt_id", "") for it in items],
+            "xs": np.stack([_pad_to(x, t_text) for x in xs]).astype(np.int32),
+            "ilens": ilens,
+        }
+        if self.out_feat_type in items[0]:
+            ys = [it[self.out_feat_type] for it in items]
+            olens = np.asarray([len(y) for y in ys], np.int32)
+            t_feats = round_up(int(olens.max()), self.pad_feats_multiple)
+            batch["ys"] = np.stack([_pad_to(y, t_feats) for y in ys]).astype(np.float32)
+            batch["olens"] = olens
+        if "durations" in items[0]:
+            ds = [it["durations"] for it in items]
+            batch["ds"] = np.stack([_pad_to(d, t_text) for d in ds]).astype(np.int32)
+        if "pitch" in items[0]:
+            batch["ps"] = np.stack(
+                [_pad_to(it["pitch"], t_text) for it in items]
+            ).astype(np.float32)
+        if "energy" in items[0]:
+            batch["es"] = np.stack(
+                [_pad_to(it["energy"], t_text) for it in items]
+            ).astype(np.float32)
+        if "spkemb" in items[0]:
+            batch["spembs"] = np.stack([it["spkemb"].reshape(-1) for it in items]).astype(
+                np.float32
+            )
+        return batch
+
+
+COLLATER_REGISTRY = {
+    "FastSpeech2Collater": FastSpeech2Collater,
+}
+
+
+class DataLoader:
+    """Minimal synchronous loader: sampler + collater -> numpy batches."""
+
+    def __init__(self, dataset, sampler, collater):
+        self.dataset = dataset
+        self.sampler = sampler
+        self.collater = collater
+
+    def __len__(self) -> int:
+        return len(self.sampler)
+
+    def __iter__(self):
+        for batch_idx in self.sampler:
+            yield self.collater([self.dataset[i] for i in batch_idx])

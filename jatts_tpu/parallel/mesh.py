@@ -1,0 +1,89 @@
+"""Device mesh + sharding helpers.
+
+TPU-native equivalent of the reference's entire distributed stack
+(SURVEY.md §2.9/§5.8): where the reference uses torch DDP + NCCL env
+rendezvous + DistributedSampler (jatts/bin/tts_train.py:126-171,238-253) and
+HF Accelerate for E2-TTS, we use ONE ``jax.sharding.Mesh`` and
+``NamedSharding``: the batch axis is sharded over ``"data"``, parameters are
+replicated, and XLA inserts the gradient all-reduce (psum over ICI/DCN)
+automatically inside the jitted train step. Multi-host: call
+``jax.distributed.initialize()`` before ``get_mesh()`` and shard the csv by
+``jax.process_index()`` (data/batcher handles per-host slicing).
+
+Axes:
+    data  — data parallel (default: all devices)
+    model — reserved for tensor-parallel sharding of the larger LM-style
+            models (VALL-E); 1 by default.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def get_mesh(
+    n_data: Optional[int] = None, n_model: int = 1, devices=None
+) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if n_data is None:
+        n_data = n // n_model
+    mesh_devices = mesh_utils.create_device_mesh((n_data, n_model), devices=devices[: n_data * n_model])
+    return Mesh(mesh_devices, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading axis sharded over 'data'."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """Move a numpy batch onto the mesh, batch axis over 'data'.
+
+    Non-array entries (utt_ids etc.) are passed through untouched.
+    Requires batch size divisible by the data-axis size (the bucketed
+    batcher guarantees this when batch_size % n_data == 0).
+    """
+    sharding = batch_sharding(mesh)
+    out = {}
+    for k, v in batch.items():
+        if isinstance(v, np.ndarray) and v.ndim >= 1:
+            out[k] = jax.device_put(v, sharding)
+        else:
+            out[k] = v
+    return out
+
+
+def pad_batch_to_devices(batch: Dict[str, Any], n: int) -> Dict[str, Any]:
+    """Pad the batch axis up to a multiple of the data-axis size by repeating
+    the last element (padded rows contribute zero weight via masks of length
+    0 — callers set lens to 0 on repeats)."""
+    b = None
+    for v in batch.values():
+        if isinstance(v, np.ndarray):
+            b = v.shape[0]
+            break
+    if b is None or b % n == 0:
+        return batch
+    pad = n - b % n
+    out = {}
+    for k, v in batch.items():
+        if isinstance(v, np.ndarray):
+            reps = np.repeat(v[-1:], pad, axis=0)
+            if k in ("ilens", "olens"):
+                reps = np.zeros_like(reps)
+            out[k] = np.concatenate([v, reps], axis=0)
+        elif isinstance(v, list):
+            out[k] = v + [v[-1]] * pad
+        else:
+            out[k] = v
+    return out

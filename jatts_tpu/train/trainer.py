@@ -1,0 +1,300 @@
+"""Generic trainer (reference jatts/trainers/base.py:17-227, re-designed).
+
+One jitted, mesh-sharded train step per model family. The torch reference
+mutates module state and steps an optimizer object; here the whole step —
+forward, losses, grad, clip, optimizer update, batch-stats update — is a pure
+function ``state, batch, rng -> state, stats`` compiled once per batch bucket
+and executed with donated state (no host round trips except interval hooks).
+
+Data parallelism comes from sharding the batch over the mesh's "data" axis;
+XLA inserts the gradient all-reduce (replaces DDP/NCCL,
+reference tts_train.py:355-363).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from collections import defaultdict
+from typing import Any, Callable, Dict, Optional
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from jatts_tpu.parallel.mesh import pad_batch_to_devices, shard_batch
+from jatts_tpu.train.schedulers import build_optimizer, build_schedule
+from jatts_tpu.utils.checkpoint import (
+    checkpoint_steps,
+    find_latest_checkpoint,
+    restore_checkpoint,
+    save_checkpoint,
+)
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+LossFn = Callable[..., Any]
+# signature: (model, params, batch_stats, batch, rng, criterions, config, step,
+#             deterministic) -> (loss, (stats_dict, new_batch_stats))
+
+
+class Trainer:
+    """Steps-based training loop with rank-0 interval hooks
+    (log/eval/save, reference base.py:196-224)."""
+
+    def __init__(
+        self,
+        config: Dict[str, Any],
+        model,
+        criterions: Dict[str, Any],
+        loss_fn: LossFn,
+        train_loader,
+        dev_loader=None,
+        outdir: str = "exp/tmp",
+        mesh=None,
+        seed: int = 0,
+        eval_hook: Optional[Callable] = None,
+    ):
+        self.config = config
+        self.model = model
+        self.criterions = criterions
+        self.loss_fn = loss_fn
+        self.train_loader = train_loader
+        self.dev_loader = dev_loader
+        self.outdir = outdir
+        self.mesh = mesh
+        self.eval_hook = eval_hook
+        self.steps = 0
+        self.epochs = 0
+        self.rng = jax.random.key(seed)
+        self.tx = build_optimizer(config)
+        self.schedule = build_schedule(config)
+        self.total_train_loss: Dict[str, float] = defaultdict(float)
+        self.finish_train = False
+        self._writer = None
+        os.makedirs(outdir, exist_ok=True)
+
+        self.train_step = self._build_train_step()
+        self.eval_step = self._build_eval_step()
+        self.state: Optional[TrainState] = None
+
+    # -- state ------------------------------------------------------------
+    def init_state(self, sample_batch: Dict[str, Any]) -> TrainState:
+        init_rng, self.rng = jax.random.split(self.rng)
+        variables = self._init_variables(init_rng, sample_batch)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        opt_state = self.tx.init(params)
+        n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
+        logging.info(f"model parameters: {n_params:,}")
+        self.state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=opt_state,
+        )
+        if self.mesh is not None:
+            from jatts_tpu.parallel.mesh import replicated
+
+            self.state = jax.device_put(self.state, replicated(self.mesh))
+        return self.state
+
+    def _init_variables(self, rng, batch):
+        kwargs = self._model_kwargs(batch)
+        return self.model.init(
+            {"params": rng, "dropout": rng}, **kwargs, deterministic=False
+        )
+
+    @staticmethod
+    def _model_kwargs(batch: Dict[str, Any]) -> Dict[str, Any]:
+        """Filter the numpy batch down to model-forward kwargs."""
+        drop = {"utt_ids"}
+        return {k: v for k, v in batch.items() if k not in drop}
+
+    # -- steps ------------------------------------------------------------
+    def _build_train_step(self):
+        model, criterions, config, loss_fn, tx = (
+            self.model, self.criterions, self.config, self.loss_fn, self.tx,
+        )
+
+        def step_fn(state: TrainState, batch: Dict[str, Any], rng):
+            def compute(params):
+                return loss_fn(
+                    model, params, state.batch_stats, batch, rng, criterions,
+                    config, state.step, False,
+                )
+
+            (loss, (stats, new_batch_stats)), grads = jax.value_and_grad(
+                compute, has_aux=True
+            )(state.params)
+            updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            new_state = state.replace(
+                step=state.step + 1,
+                params=new_params,
+                batch_stats=new_batch_stats,
+                opt_state=new_opt_state,
+            )
+            stats = dict(stats)
+            stats["train/loss"] = loss
+            stats["train/grad_norm"] = optax.global_norm(grads)
+            return new_state, stats
+
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    def _build_eval_step(self):
+        model, criterions, config, loss_fn = (
+            self.model, self.criterions, self.config, self.loss_fn,
+        )
+
+        def step_fn(state: TrainState, batch: Dict[str, Any], rng):
+            loss, (stats, _) = loss_fn(
+                model, state.params, state.batch_stats, batch, rng, criterions,
+                config, state.step, True,
+            )
+            stats = dict(stats)
+            stats["loss"] = loss
+            return stats
+
+        return jax.jit(step_fn)
+
+    # -- loop -------------------------------------------------------------
+    def run(self) -> None:
+        max_steps = int(self.config["train_max_steps"])
+        log_every = int(self.config.get("log_interval_steps", 100))
+        save_every = int(self.config.get("save_interval_steps", 10000))
+        eval_every = int(self.config.get("eval_interval_steps", 10000))
+        t0 = time.time()
+        n_dev = self.mesh.devices.size if self.mesh is not None else 1
+
+        while not self.finish_train:
+            if hasattr(self.train_loader.sampler, "set_epoch"):
+                self.train_loader.sampler.set_epoch(self.epochs)
+            for batch in self.train_loader:
+                if self.state is None:
+                    self.init_state(self._prep(batch, n_dev))
+                step_rng = jax.random.fold_in(self.rng, self.steps)
+                prepped = self._prep(batch, n_dev)
+                if self.mesh is not None:
+                    prepped = shard_batch(prepped, self.mesh)
+                self.state, stats = self.train_step(self.state, prepped, step_rng)
+                self.steps += 1
+                for k, v in stats.items():
+                    self.total_train_loss[k] += float(v)
+
+                if self.steps % log_every == 0:
+                    self._log_interval(log_every, t0)
+                    t0 = time.time()
+                if eval_every and self.steps % eval_every == 0:
+                    self._eval_interval()
+                if self.steps % save_every == 0:
+                    self.save_checkpoint()
+                if self.steps >= max_steps:
+                    self.finish_train = True
+                    break
+            self.epochs += 1
+        logging.info(f"finished training at {self.steps} steps")
+
+    def _prep(self, batch: Dict[str, Any], n_dev: int) -> Dict[str, Any]:
+        batch = pad_batch_to_devices(batch, n_dev)
+        return self._model_kwargs(batch)
+
+    # -- hooks ------------------------------------------------------------
+    @property
+    def writer(self):
+        if self._writer is None:
+            from tensorboardX import SummaryWriter
+
+            self._writer = SummaryWriter(self.outdir)
+        return self._writer
+
+    def _log_interval(self, interval: int, t0: float) -> None:
+        dt = time.time() - t0
+        msgs = []
+        for k, v in sorted(self.total_train_loss.items()):
+            avg = v / interval
+            self.writer.add_scalar(k, avg, self.steps)
+            msgs.append(f"{k}={avg:.4f}")
+        lr = float(self.schedule(self.steps))
+        self.writer.add_scalar("train/lr", lr, self.steps)
+        logging.info(
+            f"(steps {self.steps}) {' '.join(msgs)} lr={lr:.2e} "
+            f"({interval / max(dt, 1e-9):.2f} steps/s)"
+        )
+        self.total_train_loss = defaultdict(float)
+
+    def _eval_interval(self) -> None:
+        if self.dev_loader is None:
+            return
+        totals: Dict[str, float] = defaultdict(float)
+        count = 0
+        n_dev = self.mesh.devices.size if self.mesh is not None else 1
+        for batch in self.dev_loader:
+            prepped = self._prep(batch, n_dev)
+            if self.mesh is not None:
+                prepped = shard_batch(prepped, self.mesh)
+            stats = self.eval_step(self.state, prepped, jax.random.key(0))
+            for k, v in stats.items():
+                totals[k] += float(v)
+            count += 1
+        for k, v in totals.items():
+            self.writer.add_scalar(f"eval/{k}", v / max(count, 1), self.steps)
+        logging.info(
+            f"(steps {self.steps}) eval "
+            + " ".join(f"{k}={v / max(count, 1):.4f}" for k, v in sorted(totals.items()))
+        )
+        if self.eval_hook is not None:
+            self.eval_hook(self)
+
+    # -- checkpoint -------------------------------------------------------
+    def save_checkpoint(self) -> str:
+        assert self.state is not None
+        path = save_checkpoint(
+            self.outdir,
+            self.steps,
+            {
+                "params": jax.device_get(self.state.params),
+                "batch_stats": jax.device_get(self.state.batch_stats),
+                "opt_state": jax.device_get(self.state.opt_state),
+                "steps": self.steps,
+                "epochs": self.epochs,
+            },
+        )
+        logging.info(f"saved checkpoint: {path}")
+        return path
+
+    def load_checkpoint(self, path: Optional[str] = None, load_only_params: bool = False) -> None:
+        """Resume (reference base.py:107-124)."""
+        if path is None:
+            path = find_latest_checkpoint(self.outdir)
+            if path is None:
+                raise FileNotFoundError(f"no checkpoint under {self.outdir}")
+        restored = restore_checkpoint(path)
+        assert self.state is not None, "call init_state before load_checkpoint"
+        if load_only_params:
+            self.state = self.state.replace(
+                params=restored["params"], batch_stats=restored["batch_stats"]
+            )
+        else:
+            self.state = self.state.replace(
+                step=jnp.asarray(restored["steps"], jnp.int32),
+                params=restored["params"],
+                batch_stats=restored["batch_stats"],
+                opt_state=restored["opt_state"],
+            )
+            self.steps = int(restored["steps"])
+            self.epochs = int(restored.get("epochs", 0))
+        if self.mesh is not None:
+            from jatts_tpu.parallel.mesh import replicated
+
+            self.state = jax.device_put(self.state, replicated(self.mesh))
+        logging.info(f"loaded checkpoint from {path} (steps={self.steps})")

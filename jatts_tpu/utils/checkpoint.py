@@ -1,0 +1,52 @@
+"""Orbax checkpointing with reference-compatible naming.
+
+Checkpoints are directories ``checkpoint-{steps}steps`` under the experiment
+outdir (the reference writes ``checkpoint-{steps}steps.pkl`` pickles,
+trainers/base.py:85-105; we keep the stem so recipe scripts' latest-checkpoint
+discovery by steps works unchanged).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Dict, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def _ckpt_dir(outdir: str, steps: int) -> str:
+    return os.path.join(os.path.abspath(outdir), f"checkpoint-{steps}steps")
+
+
+def save_checkpoint(outdir: str, steps: int, state: Dict[str, Any]) -> str:
+    path = _ckpt_dir(outdir, steps)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, state, force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def restore_checkpoint(path: str, template: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
+    ckptr = ocp.StandardCheckpointer()
+    if template is not None:
+        return ckptr.restore(path, target=template)
+    return ckptr.restore(path)
+
+
+def find_latest_checkpoint(outdir: str) -> Optional[str]:
+    """Latest by step count (reference picks by mtime, run.sh:241)."""
+    if not os.path.isdir(outdir):
+        return None
+    best, best_steps = None, -1
+    for name in os.listdir(outdir):
+        m = re.fullmatch(r"checkpoint-(\d+)steps", name)
+        if m and int(m.group(1)) > best_steps:
+            best, best_steps = os.path.join(outdir, name), int(m.group(1))
+    return best
+
+
+def checkpoint_steps(path: str) -> int:
+    m = re.search(r"checkpoint-(\d+)steps", path)
+    return int(m.group(1)) if m else 0
