@@ -14,19 +14,22 @@ import jax
 import jax.numpy as jnp
 
 
-def _apply(model, params, batch_stats, rng, deterministic, **kwargs):
+def _apply(model, params, batch_stats, rng, deterministic, extra_rngs=(), **kwargs):
     variables = {"params": params}
     if batch_stats:
         variables["batch_stats"] = batch_stats
+    rngs = {"dropout": rng}
+    for i, name in enumerate(extra_rngs):
+        rngs[name] = jax.random.fold_in(rng, i + 1)
     mutable = [] if deterministic else ["batch_stats"]
     if mutable and batch_stats:
         out, mut = model.apply(
             variables, **kwargs, deterministic=deterministic,
-            rngs={"dropout": rng}, mutable=mutable,
+            rngs=rngs, mutable=mutable,
         )
         return out, mut.get("batch_stats", batch_stats)
     out = model.apply(
-        variables, **kwargs, deterministic=deterministic, rngs={"dropout": rng}
+        variables, **kwargs, deterministic=deterministic, rngs=rngs
     )
     return out, batch_stats
 

@@ -111,7 +111,7 @@ class Trainer:
     def _init_variables(self, rng, batch):
         kwargs = self._model_kwargs(batch)
         return self.model.init(
-            {"params": rng, "dropout": rng}, **kwargs, deterministic=False
+            {"params": rng, "dropout": rng, "noise": rng}, **kwargs, deterministic=False
         )
 
     @staticmethod
