@@ -1,0 +1,418 @@
+"""VALL-E AR/NAR neural-codec LM (reference jatts/models/valle_base.py:27-280,
+valle_ar.py:16-101, valle_nar.py:15-119).
+
+TPU re-design:
+  * the reference's "list of variable-length tensors" batches become packed
+    padded arrays: each sample's [text | sep | prompt | sep | response]
+    sequence is packed contiguously via gathers (static shapes, no ragged
+    tensors);
+  * AR decode is a KV-cached ``lax.scan`` — the reference re-runs the FULL
+    transformer over the whole sequence for every generated token
+    (valle_ar.py:77-101, "no KV cache" — SURVEY.md §3.4 hot spot);
+  * NAR runs 7 level passes, each one jitted forward.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from jatts_tpu.modules.valle_modules import (
+    SinusoidalEmbedding,
+    VALLEBlock,
+)
+from jatts_tpu.ops.masks import sequence_mask
+
+IGNORE = -100
+
+
+def pack_three(
+    e_text, text_lens, e_prom, prom_lens, e_resp, resp_lens, sep
+):
+    """Pack [text | sep | prom | sep | resp] contiguously per sample.
+
+    e_*: [B, T_i, D] embeddings; sep: [D].
+    Returns packed [B, S, D] (S = Tx+1+Tp+1+Tr), total_lens [B].
+    """
+    b, tx, d = e_text.shape
+    tp = e_prom.shape[1]
+    tr = e_resp.shape[1]
+    s = tx + 1 + tp + 1 + tr
+    pos = jnp.arange(s)[None, :]  # [1, S]
+    lx = text_lens[:, None]
+    lp = prom_lens[:, None]
+    lr = resp_lens[:, None]
+
+    off_text = pos
+    off_prom = pos - (lx + 1)
+    off_resp = pos - (lx + lp + 2)
+
+    def gather(e, off, t):
+        idx = jnp.clip(off, 0, t - 1)
+        return jnp.take_along_axis(e, idx[..., None], axis=1)
+
+    g_text = gather(e_text, off_text, tx)
+    g_prom = gather(e_prom, off_prom, tp)
+    g_resp = gather(e_resp, off_resp, tr)
+    sep_b = jnp.broadcast_to(sep[None, None, :], (b, s, d))
+
+    is_text = pos < lx
+    is_sep1 = pos == lx
+    is_prom = (pos > lx) & (pos < lx + 1 + lp)
+    is_sep2 = pos == lx + 1 + lp
+    is_resp = (pos > lx + 1 + lp) & (pos < lx + 2 + lp + lr)
+
+    packed = jnp.zeros((b, s, d), e_text.dtype)
+    packed = jnp.where(is_text[..., None], g_text, packed)
+    packed = jnp.where((is_sep1 | is_sep2)[..., None], sep_b, packed)
+    packed = jnp.where(is_prom[..., None], g_prom, packed)
+    packed = jnp.where(is_resp[..., None], g_resp, packed)
+    total = text_lens + prom_lens + resp_lens + 2
+    return packed, total
+
+
+def pack_ids(vals_text, text_lens, tp, prom_lens, vals_resp, resp_lens, fill=IGNORE):
+    """Same layout as pack_three but for integer ids; prompt/sep -> fill."""
+    b, tx = vals_text.shape
+    tr = vals_resp.shape[1]
+    s = tx + 1 + tp + 1 + tr
+    pos = jnp.arange(s)[None, :]
+    lx = text_lens[:, None]
+    lp = prom_lens[:, None]
+    lr = resp_lens[:, None]
+    off_text = jnp.clip(pos, 0, tx - 1)
+    off_resp = jnp.clip(pos - (lx + lp + 2), 0, tr - 1)
+    g_text = jnp.take_along_axis(vals_text, off_text, axis=1)
+    g_resp = jnp.take_along_axis(vals_resp, off_resp, axis=1)
+    out = jnp.full((b, s), fill, jnp.int32)
+    out = jnp.where(pos < lx, g_text, out)
+    out = jnp.where((pos > lx + 1 + lp) & (pos < lx + 2 + lp + lr), g_resp, out)
+    return out
+
+
+class VALLEBase(nn.Module):
+    idim: int  # unused (parity with reference signature)
+    n_tokens: int = 1024
+    d_model: int = 512
+    n_heads: int = 8
+    n_layers: int = 12
+    p_dropout: float = 0.1
+    n_prom_levels: int = 8
+    n_resp_levels: int = 7
+    prompt_prefix_mode: int = 1
+    prompt_max_frame_length: int = 225
+    dtype: Any = jnp.float32
+
+    # subclass properties
+    causal: bool = True
+    use_stop_token: bool = True
+    norm_type: str = "ln"
+
+    @property
+    def stop_token(self) -> int:
+        return self.n_tokens
+
+    @property
+    def n_resp_tokens(self) -> int:
+        return self.n_tokens + (1 if self.use_stop_token else 0)
+
+    def setup(self):
+        self.text_emb = nn.Embed(self.n_tokens, self.d_model, name="text_emb")
+        self.proms_weight = self.param(
+            "proms_emb",
+            nn.initializers.normal(1.0),
+            (self.n_prom_levels, self.n_tokens, self.d_model),
+        )
+        self.resps_weight = self.param(
+            "resps_emb",
+            nn.initializers.normal(1.0),
+            (self.n_resp_levels, self.n_resp_tokens, self.d_model),
+        )
+        self.sin_emb = SinusoidalEmbedding(self.d_model)
+        self.sep = self.param("sep", nn.initializers.normal(1.0), (self.d_model,))
+        self.blocks = [
+            VALLEBlock(
+                self.d_model, self.n_heads, self.p_dropout, self.causal,
+                self.norm_type, self.n_resp_levels, name=f"blocks_{i}",
+            )
+            for i in range(self.n_layers)
+        ]
+        self.classifier = nn.Dense(self.n_resp_tokens, name="classifier")
+
+    def _multi_embed(self, weight, codes, n_active):
+        """Sum embeddings over the first ``n_active[b]`` RVQ levels
+        (reference MultiEmbedding, valle/modules.py:249-297).
+
+        codes: [B, T, L]; n_active: [B] number of levels to include."""
+        l = codes.shape[-1]
+        levels = []
+        for li in range(l):
+            levels.append(jnp.take(weight[li], codes[:, :, li], axis=0))
+        emb = jnp.stack(levels, axis=0)  # [L, B, T, D]
+        active = (jnp.arange(l)[:, None] < n_active[None, :]).astype(emb.dtype)
+        return jnp.einsum("lbtd,lb->btd", emb, active)
+
+    def trunk(
+        self, text, text_lens, proms, prom_lens, resps, resp_lens,
+        resp_levels, quant_levels=None, deterministic: bool = True,
+    ):
+        """Packed forward -> logits [B, S, n_resp_tokens], layout info."""
+        b = text.shape[0]
+        e_text = self.text_emb(text)
+        e_prom = self._multi_embed(
+            self.proms_weight, proms, jnp.full((b,), proms.shape[-1])
+        )
+        e_resp = self._multi_embed(self.resps_weight, resps, resp_levels)
+        x, total = pack_three(
+            e_text, text_lens, e_prom, prom_lens, e_resp, resp_lens,
+            self.sep.astype(e_text.dtype),
+        )
+        x = self.sin_emb(x)
+        m = sequence_mask(total, x.shape[1], x.dtype)[..., None]
+        for block in self.blocks:
+            x = block(x, m, quant_levels, deterministic=deterministic)
+        return self.classifier(x) * m, total
+
+
+class VALLEAR(VALLEBase):
+    causal: bool = True
+    use_stop_token: bool = True
+    norm_type: str = "ln"
+
+    def __call__(
+        self,
+        text: jnp.ndarray,       # [B, Tx]
+        text_lens: jnp.ndarray,
+        proms: jnp.ndarray,      # [B, Tp, Lp]
+        prom_lens: jnp.ndarray,
+        resps: jnp.ndarray,      # [B, Tr] level-0 codes
+        resp_lens: jnp.ndarray,
+        deterministic: bool = False,
+    ) -> Dict[str, jnp.ndarray]:
+        """Training: next-token CE over the packed sequence
+        (reference valle_base.py:149-263 with shift_targ_list=True)."""
+        b, tx = text.shape
+        tp = proms.shape[1]
+        tr = resps.shape[1]
+        logits, total = self.trunk(
+            text, text_lens, proms, prom_lens, resps[..., None], resp_lens,
+            jnp.ones((b,), jnp.int32), None, deterministic,
+        )
+        # target ids: text next-token; prompt/sep ignored; resp next-token
+        # with stop at the end (reference target roll semantics).
+        y = pack_ids(text, text_lens, tp, prom_lens, resps, resp_lens)
+        s = y.shape[1]
+        pos = jnp.arange(s)[None, :]
+        nxt = jnp.concatenate([y[:, 1:], jnp.full((b, 1), IGNORE, jnp.int32)], axis=1)
+        lx = text_lens[:, None]
+        lp = prom_lens[:, None]
+        lr = resp_lens[:, None]
+        # boundary positions whose "next" crosses segments -> IGNORE
+        tgt = jnp.where(pos == lx - 1, IGNORE, nxt)
+        resp_last = lx + lp + 1 + lr
+        tgt = jnp.where(pos == resp_last, self.stop_token, tgt)
+        tgt = jnp.where(pos >= total[:, None], IGNORE, tgt)
+
+        tgt = jnp.where(pos == lx + lp + 1, IGNORE, tgt)  # sep2 ignored (merge sep)
+        valid = (tgt != IGNORE)
+        safe = jnp.where(valid, tgt, 0)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+        loss = jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1)
+        return {"loss": loss, "logits": logits, "total": total}
+
+    def prefix_forward(
+        self,
+        text: jnp.ndarray,
+        text_lens: jnp.ndarray,
+        proms: jnp.ndarray,
+        prom_lens: jnp.ndarray,
+        max_steps: int,
+    ):
+        """Run the [text | sep | prom | sep] prefix once, returning last-
+        position logits and KV caches padded to prefix+max_steps capacity."""
+        b, tx = text.shape
+        tp = proms.shape[1]
+        prefix_len = text_lens + prom_lens + 2
+        e_text = self.text_emb(text)
+        e_prom = self._multi_embed(
+            self.proms_weight, proms, jnp.full((b,), proms.shape[-1])
+        )
+        empty = jnp.zeros((b, 1, self.d_model), e_text.dtype)
+        x, _ = pack_three(
+            e_text, text_lens, e_prom, prom_lens, empty, jnp.zeros((b,), jnp.int32),
+            self.sep.astype(e_text.dtype),
+        )
+        x = x[:, : tx + 1 + tp + 1]  # drop resp capacity
+        x = self.sin_emb(x)
+        m = sequence_mask(prefix_len, x.shape[1], x.dtype)[..., None]
+
+        dh = self.d_model // self.n_heads
+        s_total = x.shape[1] + max_steps
+        caches_k, caches_v = [], []
+        h = x
+        for block in self.blocks:
+            normed = block._norm(block.norm_attn, h, None) * m
+            qkv = block.attn.to_qkv(normed)
+            _, k, v = jnp.split(qkv, 3, axis=-1)
+            k = k.reshape(b, -1, self.n_heads, dh)
+            v = v.reshape(b, -1, self.n_heads, dh)
+            pad = s_total - k.shape[1]
+            caches_k.append(jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0))))
+            caches_v.append(jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0))))
+            h = block(h, m, None, deterministic=True)
+        logits_prefix = self.classifier(h)
+        idx = (prefix_len - 1)[:, None, None]
+        last = jnp.take_along_axis(
+            logits_prefix, jnp.broadcast_to(idx, (b, 1, logits_prefix.shape[-1])), axis=1
+        )[:, 0, :]
+        return last, prefix_len, tuple(caches_k), tuple(caches_v)
+
+    def decode_one(self, tok, pos, caches_k, caches_v):
+        """One KV-cached AR step: token [B] at absolute positions [B] ->
+        (logits [B, V], updated caches)."""
+        e = jnp.take(
+            self.resps_weight[0], jnp.clip(tok, 0, self.n_resp_tokens - 1), axis=0
+        )
+        e = e[:, None, :] + self.sin_emb.table(pos.astype(jnp.float32))[
+            :, None, :
+        ].astype(e.dtype)
+        h = e
+        new_ck, new_cv = [], []
+        for i, block in enumerate(self.blocks):
+            h, k_i, v_i = block.decode_step(h, caches_k[i], caches_v[i], pos)
+            new_ck.append(k_i)
+            new_cv.append(v_i)
+        logits = self.classifier(h)[:, 0, :]
+        return logits, tuple(new_ck), tuple(new_cv)
+
+
+def ar_generate(
+    model: "VALLEAR",
+    variables,
+    rng,
+    text: jnp.ndarray,
+    text_lens: jnp.ndarray,
+    proms: jnp.ndarray,
+    prom_lens: jnp.ndarray,
+    max_steps: int = 1000,
+    sampling_temperature: float = 1.0,
+) -> Dict[str, jnp.ndarray]:
+    """KV-cached AR decode loop (replaces reference valle_ar.py:77-101's
+    full-reforward-per-token loop). Pure function: jittable wholesale; the
+    scan body calls ``model.apply`` (no flax-in-scan restriction)."""
+    b = text.shape[0]
+    last, prefix_len, ck, cv = model.apply(
+        variables, text, text_lens, proms, prom_lens, max_steps,
+        method=VALLEAR.prefix_forward,
+    )
+    r0, rng = jax.random.split(rng)
+    tok0 = jax.random.categorical(r0, last / sampling_temperature, axis=-1)
+    stop = model.n_tokens  # stop_token
+
+    def step(carry, step_rng):
+        tok, pos, stopped, ck, cv = carry
+        logits, ck, cv = model.apply(
+            variables, tok, pos, ck, cv, method=VALLEAR.decode_one
+        )
+        nxt = jax.random.categorical(
+            step_rng, logits / sampling_temperature, axis=-1
+        )
+        stopped_now = stopped | (tok == stop)
+        nxt = jnp.where(stopped_now, stop, nxt)
+        return (nxt, pos + 1, stopped_now, ck, cv), nxt
+
+    steps_rngs = jax.random.split(rng, max_steps - 1)
+    carry = (tok0, prefix_len, jnp.zeros((b,), bool), ck, cv)
+    _, toks = jax.lax.scan(step, carry, steps_rngs)
+    toks_all = jnp.concatenate([tok0[:, None], jnp.moveaxis(toks, 0, 1)], axis=1)
+    stop_mask = toks_all == stop
+    any_stop = jnp.any(stop_mask, axis=1)
+    first_stop = jnp.where(any_stop, jnp.argmax(stop_mask, axis=1), max_steps)
+    return {"codes": toks_all, "resp_lens": first_stop}
+
+
+class VALLENAR(VALLEBase):
+    causal: bool = False
+    use_stop_token: bool = False
+    norm_type: str = "adaln"
+
+    def __call__(
+        self,
+        text: jnp.ndarray,
+        text_lens: jnp.ndarray,
+        proms: jnp.ndarray,      # [B, Tp, 8]
+        prom_lens: jnp.ndarray,
+        resps: jnp.ndarray,      # [B, Tr, 8] all levels (training)
+        resp_lens: jnp.ndarray,
+        quant_levels: Optional[jnp.ndarray] = None,  # [B] in [0, n_resp_levels)
+        deterministic: bool = False,
+    ) -> Dict[str, jnp.ndarray]:
+        """Training: random level per sample, CE on level q+1 tokens at resp
+        positions (reference valle_nar.py:60-82)."""
+        b, tx = text.shape
+        tp = proms.shape[1]
+        tr = resps.shape[1]
+        if quant_levels is None:
+            quant_levels = jax.random.randint(
+                self.make_rng("noise"), (b,), 0, self.n_resp_levels
+            )
+        logits, total = self.trunk(
+            text, text_lens, proms, prom_lens, resps, resp_lens,
+            quant_levels + 1, quant_levels, deterministic,
+        )
+        targ = jnp.take_along_axis(
+            resps, (quant_levels + 1)[:, None, None], axis=2
+        )[..., 0]  # [B, Tr] level q+1 codes
+        y = pack_ids(
+            jnp.full_like(text, IGNORE), text_lens, tp, prom_lens, targ, resp_lens
+        )
+        pos = jnp.arange(y.shape[1])[None, :]
+        y = jnp.where(pos >= total[:, None], IGNORE, y)
+        valid = y != IGNORE
+        safe = jnp.where(valid, y, 0)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+        loss = jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1)
+        return {"loss": loss, "logits": logits}
+
+    def generate(
+        self,
+        text: jnp.ndarray,
+        text_lens: jnp.ndarray,
+        proms: jnp.ndarray,
+        prom_lens: jnp.ndarray,
+        level0: jnp.ndarray,     # [B, Tr] AR output codes
+        resp_lens: jnp.ndarray,
+        sampling_temperature: float = 0.2,
+    ) -> jnp.ndarray:
+        """Fill levels 1..7 sequentially (reference valle_nar.py:88-118).
+        Returns [B, Tr, 8]."""
+        b, tr = level0.shape
+        codes = jnp.zeros((b, tr, self.n_resp_levels + 1), jnp.int32)
+        codes = codes.at[:, :, 0].set(level0)
+        rng = self.make_rng("noise")
+        for level in range(self.n_resp_levels):
+            q = jnp.full((b,), level, jnp.int32)
+            logits, total = self.trunk(
+                text, text_lens, proms, prom_lens, codes, resp_lens,
+                q + 1, q, True,
+            )
+            # take resp-region logits
+            s = logits.shape[1]
+            lx = text_lens[:, None]
+            lp = prom_lens[:, None]
+            start = lx + lp + 2
+            pos = jnp.arange(tr)[None, :] + start  # [B, Tr]
+            resp_logits = jnp.take_along_axis(
+                logits, pos[..., None].repeat(logits.shape[-1], -1), axis=1
+            )
+            rng, r = jax.random.split(rng)
+            sampled = jax.random.categorical(
+                r, resp_logits / sampling_temperature, axis=-1
+            )
+            codes = codes.at[:, :, level + 1].set(sampled)
+        return codes

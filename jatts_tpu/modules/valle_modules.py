@@ -1,0 +1,166 @@
+"""VALL-E transformer building blocks (reference jatts/modules/valle/modules.py).
+
+TPU re-design: variable-length "list of tensors" batches become packed padded
+arrays (see ops in models/valle.py), and Attention exposes a KV-cached
+single-step decode path — the reference's AR loop re-runs the full
+transformer over the whole sequence per generated token
+(jatts/models/valle_ar.py:77-101); here the prefix is processed once and each
+step attends to a cache.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+_MASK_VAL = -1e9
+
+
+class SinusoidalEmbedding(nn.Module):
+    """reference valle/modules.py:42-93 (add_pe)."""
+
+    d_model: int
+
+    def table(self, positions: jnp.ndarray) -> jnp.ndarray:
+        # positions: [...,] float/int -> [..., d_model]
+        d = self.d_model
+        half = d // 2
+        omega = jnp.exp(
+            -jnp.log(10000.0) * jnp.arange(half, dtype=jnp.float32) / half
+        )
+        ang = positions.astype(jnp.float32)[..., None] * omega
+        # reference interleaves sin/cos over pairs: e[..., 0::2]=sin, 1::2=cos
+        out = jnp.zeros((*positions.shape, d), jnp.float32)
+        out = out.at[..., 0::2].set(jnp.sin(ang))
+        out = out.at[..., 1::2].set(jnp.cos(ang))
+        return out
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        pos = jnp.arange(x.shape[1])
+        return x + self.table(pos)[None].astype(x.dtype)
+
+
+class AdaLN(nn.Module):
+    """Level-conditioned AdaNorm-style LN, zero-init
+    (reference valle/modules.py:140-162)."""
+
+    d_model: int
+    n_levels: int
+    eps: float = 1e-5
+    k: float = 0.1
+    c: float = 2.0
+
+    @nn.compact
+    def __call__(self, x, level):
+        emb = nn.Embed(
+            self.n_levels, self.d_model * 2,
+            embedding_init=nn.initializers.zeros, name="emb",
+        )(level)  # [B, 2d]
+        log_gamma, beta = jnp.split(emb[:, None, :], 2, axis=-1)
+        h = nn.LayerNorm(epsilon=self.eps, use_bias=False, use_scale=False)(x)
+        h = self.c * (1.0 - jax.lax.stop_gradient(self.k * h)) * h
+        return jnp.exp(log_gamma) * h + beta
+
+
+class VALLEAttention(nn.Module):
+    """Fused-QKV MHA with causal option and KV-cached decode
+    (reference valle/modules.py:96-137)."""
+
+    d_model: int
+    n_heads: int
+    causal: bool
+
+    def setup(self):
+        self.to_qkv = nn.Dense(self.d_model * 3, use_bias=False, name="to_qkv")
+        self.to_out = nn.Dense(self.d_model, name="to_out")
+
+    def _split(self, x):
+        b, t, _ = x.shape
+        return x.reshape(b, t, self.n_heads, self.d_model // self.n_heads)
+
+    def __call__(self, x, m):
+        """x: [B, T, D]; m: [B, T, 1] validity."""
+        q, k, v = jnp.split(self.to_qkv(x), 3, axis=-1)
+        q, k, v = self._split(q), self._split(k), self._split(v)
+        scale = (self.d_model // self.n_heads) ** -0.5
+        e = jnp.einsum("bihd,bjhd->bhij", q, k) * scale
+        kpm = (m[:, :, 0][:, None, :, None] * m[:, :, 0][:, None, None, :]) > 0
+        if self.causal:
+            t = x.shape[1]
+            kpm = kpm & jnp.tril(jnp.ones((t, t), bool))[None, None]
+        e = jnp.where(kpm, e, _MASK_VAL)
+        a = nn.softmax(e, axis=-1)
+        o = jnp.einsum("bhij,bjhd->bihd", a, v)
+        o = o.reshape(x.shape)
+        return self.to_out(o) * m
+
+    def decode_step(self, x_t, cache_k, cache_v, write_pos):
+        """Single-token causal step.
+
+        x_t: [B, 1, D]; cache_k/v: [B, S, H, Dh]; write_pos: [B] int —
+        the slot to write this step's K/V (== current absolute position).
+        Returns (out [B, 1, D], new_k, new_v).
+        """
+        b, s, h, dh = cache_k.shape
+        q, k, v = jnp.split(self.to_qkv(x_t), 3, axis=-1)
+        q = self._split(q)  # [B, 1, H, Dh]
+        k = self._split(k)[:, 0]  # [B, H, Dh]
+        v = self._split(v)[:, 0]
+        onehot = jnp.arange(s)[None, :] == write_pos[:, None]  # [B, S]
+        cache_k = jnp.where(onehot[..., None, None], k[:, None], cache_k)
+        cache_v = jnp.where(onehot[..., None, None], v[:, None], cache_v)
+        scale = dh**-0.5
+        e = jnp.einsum("bqhd,bjhd->bhqj", q, cache_k) * scale  # q==1
+        valid = jnp.arange(s)[None, :] <= write_pos[:, None]  # causal + alloc
+        e = jnp.where(valid[:, None, None, :], e, _MASK_VAL)
+        a = nn.softmax(e, axis=-1)
+        o = jnp.einsum("bhqj,bjhd->bqhd", a, cache_v).reshape(x_t.shape)
+        return self.to_out(o), cache_k, cache_v
+
+
+class VALLEBlock(nn.Module):
+    """Pre-norm attention + FFN block (reference valle/modules.py:165-239)."""
+
+    d_model: int
+    n_heads: int
+    p_dropout: float
+    causal: bool
+    norm_type: str  # "ln" | "adaln"
+    n_levels: Optional[int] = None
+
+    def setup(self):
+        self.attn = VALLEAttention(self.d_model, self.n_heads, self.causal, name="attn")
+        if self.norm_type == "adaln":
+            self.norm_attn = AdaLN(self.d_model, self.n_levels, name="norm_attn")
+            self.norm_ffn = AdaLN(self.d_model, self.n_levels, name="norm_ffn")
+        else:
+            self.norm_attn = nn.LayerNorm(epsilon=1e-5, name="norm_attn")
+            self.norm_ffn = nn.LayerNorm(epsilon=1e-5, name="norm_ffn")
+        self.ffn_in = nn.Dense(self.d_model * 4, name="ffn_in")
+        self.ffn_out = nn.Dense(self.d_model, name="ffn_out")
+        self.drop = nn.Dropout(self.p_dropout)
+
+    def _norm(self, norm, x, level):
+        return norm(x, level) if self.norm_type == "adaln" else norm(x)
+
+    def _ffn(self, x, deterministic):
+        h = nn.gelu(self.ffn_in(x), approximate=False)
+        h = self.drop(h, deterministic=deterministic)
+        return self.ffn_out(h)
+
+    def __call__(self, x, m, level=None, deterministic: bool = True):
+        h = self.attn(self._norm(self.norm_attn, x, level) * m, m)
+        x = (x + self.drop(h, deterministic=deterministic)) * m
+        h = self._ffn(self._norm(self.norm_ffn, x, level) * m, deterministic)
+        x = (x + self.drop(h, deterministic=deterministic)) * m
+        return x
+
+    def decode_step(self, x_t, cache_k, cache_v, write_pos):
+        h = self._norm(self.norm_attn, x_t, None)
+        h, cache_k, cache_v = self.attn.decode_step(h, cache_k, cache_v, write_pos)
+        x_t = x_t + h
+        x_t = x_t + self._ffn(self._norm(self.norm_ffn, x_t, None), True)
+        return x_t, cache_k, cache_v

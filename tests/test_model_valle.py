@@ -1,0 +1,76 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jatts_tpu.models.valle import VALLEAR, VALLENAR, ar_generate, pack_three
+
+RNGS = {"params": jax.random.key(0), "dropout": jax.random.key(1), "noise": jax.random.key(2)}
+
+TINY = dict(idim=0, n_tokens=32, d_model=32, n_heads=2, n_layers=2)
+
+
+def _inputs(rng, b=2, tx=6, tp=8, tr=10, levels=1):
+    resps = rng.integers(0, 32, (b, tr, levels)) if levels > 1 else rng.integers(0, 32, (b, tr))
+    return dict(
+        text=jnp.array(rng.integers(0, 32, (b, tx)).astype(np.int32)),
+        text_lens=jnp.array([6, 4]),
+        proms=jnp.array(rng.integers(0, 32, (b, tp, 8)).astype(np.int32)),
+        prom_lens=jnp.array([8, 5]),
+        resps=jnp.array(resps.astype(np.int32)),
+        resp_lens=jnp.array([10, 7]),
+    )
+
+
+def test_pack_three_layout():
+    b, d = 1, 4
+    e_text = jnp.ones((b, 3, d)) * 1
+    e_prom = jnp.ones((b, 2, d)) * 2
+    e_resp = jnp.ones((b, 2, d)) * 3
+    sep = jnp.ones((d,)) * 9
+    packed, total = pack_three(
+        e_text, jnp.array([2]), e_prom, jnp.array([2]), e_resp, jnp.array([1]), sep
+    )
+    row = np.asarray(packed)[0, :, 0]
+    np.testing.assert_array_equal(row[:7], [1, 1, 9, 2, 2, 9, 3])
+    assert int(total[0]) == 7
+    assert (row[7:] == 0).all()
+
+
+def test_valle_ar_train_and_generate():
+    rng = np.random.default_rng(0)
+    inp = _inputs(rng)
+    model = VALLEAR(**TINY)
+    variables = model.init(RNGS, **inp, deterministic=False)
+    out = model.apply(variables, **inp, deterministic=False, rngs=RNGS)
+    assert np.isfinite(float(out["loss"]))
+
+    gen = jax.jit(
+        lambda v, r: ar_generate(
+            model, v, r, inp["text"], inp["text_lens"], inp["proms"],
+            inp["prom_lens"], max_steps=12,
+        )
+    )(variables, jax.random.key(3))
+    codes = np.asarray(gen["codes"])
+    assert codes.shape == (2, 12)
+    lens = np.asarray(gen["resp_lens"])
+    assert ((0 <= lens) & (lens <= 12)).all()
+
+
+def test_valle_nar_train_and_generate():
+    rng = np.random.default_rng(1)
+    inp = _inputs(rng, levels=8)
+    model = VALLENAR(**TINY)
+    variables = model.init(RNGS, **inp, deterministic=False)
+    out = model.apply(variables, **inp, deterministic=False, rngs=RNGS)
+    assert np.isfinite(float(out["loss"]))
+
+    level0 = inp["resps"][:, :, 0]
+    codes = model.apply(
+        variables, inp["text"], inp["text_lens"], inp["proms"], inp["prom_lens"],
+        level0, inp["resp_lens"], method=VALLENAR.generate,
+        rngs={"noise": jax.random.key(4)},
+    )
+    codes = np.asarray(codes)
+    assert codes.shape == (2, 10, 8)
+    np.testing.assert_array_equal(codes[:, :, 0], np.asarray(level0))
+    assert (codes >= 0).all() and (codes < 32).all()
