@@ -1,0 +1,115 @@
+"""E2-TTS inference CLI (reference jatts/bin/e2tts_decode.py:30-321).
+
+Input per utterance: prompt_phonemes + [filler 0] + phonemes; prompt mel is
+computed on the fly from the prompt wav; total duration heuristic = prompt
+frames + phones * frames-per-phone. Batched, jitted CFG Euler sampling; EMA
+weights are used when present in the checkpoint.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+
+import numpy as np
+
+from jatts_tpu.data.token_id_converter import TokenIDConverter
+from jatts_tpu.features.extractors import LogMelExtractor
+from jatts_tpu.models.e2tts import E2TTS
+from jatts_tpu.utils.checkpoint import find_latest_checkpoint, restore_checkpoint
+from jatts_tpu.utils.config import load_config
+from jatts_tpu.utils.io import read_audio, read_csv, read_hdf5, write_audio
+
+
+def main():
+    parser = argparse.ArgumentParser(description="E2-TTS decoding (stage 4).")
+    parser.add_argument("--csv", required=True)
+    parser.add_argument("--stats", required=True)
+    parser.add_argument("--token-list", required=True)
+    parser.add_argument("--checkpoint", default=None)
+    parser.add_argument("--expdir", default=None)
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--outdir", required=True)
+    parser.add_argument("--frames-per-phone", type=float, default=12.0)
+    parser.add_argument("--max-frames", type=int, default=3000)
+    parser.add_argument("--verbose", type=int, default=1)
+    args = parser.parse_args()
+    logging.basicConfig(level=logging.INFO if args.verbose > 0 else logging.WARNING)
+
+    import jax
+    import jax.numpy as jnp
+
+    config = load_config(args.config)
+    with open(args.token_list, encoding="utf-8") as f:
+        n_vocab = len([l for l in f if l.strip()])
+    model_params = dict(config["model_params"])
+    model_params["idim"] = n_vocab
+    model = E2TTS(**model_params)
+
+    ckpt_path = args.checkpoint or find_latest_checkpoint(args.expdir)
+    restored = restore_checkpoint(ckpt_path)
+    # prefer EMA weights (reference e2tts_decode.py:144-150)
+    params = restored.get("ema_params") or restored["params"]
+    variables = {"params": params}
+
+    sr = int(config["sampling_rate"])
+    hop = int(config["hop_size"])
+    mel_ex = LogMelExtractor(
+        sampling_rate=sr, fft_size=config["fft_size"], hop_size=hop,
+        num_mels=config["num_mels"], fmin=config.get("fmin"),
+        fmax=config.get("fmax"),
+    )
+    mel_mean = np.asarray(read_hdf5(args.stats, "mel_mean"))
+    mel_scale = np.asarray(read_hdf5(args.stats, "mel_scale"))
+    conv = TokenIDConverter(args.token_list)
+
+    vocoder = None
+    voc_cfg = config.get("vocoder") or {}
+    if voc_cfg.get("checkpoint") and os.path.exists(voc_cfg["checkpoint"]):
+        from jatts_tpu.vocoder import Vocoder
+
+        vocoder = Vocoder(voc_cfg["checkpoint"], voc_cfg["config"], voc_cfg.get("stats"))
+
+    steps = int(config.get("nfe_step", 32))
+    cfg_strength = float(config.get("cfg_strength", 1.0))
+    sway = config.get("sway_sampling_coef")
+
+    @jax.jit
+    def infer(variables, cond, text, ref_lens, duration, rng):
+        return model.apply(
+            variables, cond, text, ref_lens, duration, steps, cfg_strength, sway,
+            method=E2TTS.inference, rngs={"noise": rng},
+        )
+
+    rows, _ = read_csv(args.csv, dict_reader=True)
+    os.makedirs(os.path.join(args.outdir, "wav"), exist_ok=True)
+    for i, row in enumerate(rows):
+        prompt_wav, _ = read_audio(row["prompt_wav_path"], sr)
+        prompt_mel = (mel_ex(prompt_wav) - mel_mean) / mel_scale
+        ids = conv.tokens2ids(
+            row["prompt_phonemes"].split(" ") + ["<blank>"] + row["phonemes"].split(" ")
+        )
+        n_prompt = len(prompt_mel)
+        n_gen = int(len(row["phonemes"].split(" ")) * args.frames_per_phone)
+        duration = min(n_prompt + n_gen, args.max_frames)
+        t_max = args.max_frames
+        cond = np.zeros((1, t_max, config["num_mels"]), np.float32)
+        cond[0, :n_prompt] = prompt_mel[:t_max]
+        text = -np.ones((1, len(ids)), np.int32)
+        text[0] = ids
+        out = infer(
+            variables, jnp.asarray(cond), jnp.asarray(text),
+            jnp.asarray([n_prompt]), jnp.asarray([duration]), jax.random.key(i),
+        )
+        mel = np.asarray(out["feat_gen"])[0, n_prompt:duration]
+        utt = row["sample_id"]
+        np.save(os.path.join(args.outdir, "wav", f"{utt}_mel.npy"), mel)
+        if vocoder is not None:
+            wav = vocoder.decode(mel, mel_mean, mel_scale)
+            write_audio(os.path.join(args.outdir, "wav", f"{utt}.wav"), wav, sr)
+    logging.info(f"decoded {len(rows)} utterances")
+
+
+if __name__ == "__main__":
+    main()

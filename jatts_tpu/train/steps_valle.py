@@ -12,10 +12,13 @@ def valle_loss(
     model, params, batch_stats, batch: Dict[str, Any], rng, criterions,
     config, step, deterministic: bool,
 ):
+    resps = batch["resps"]
+    if type(model).__name__ == "VALLEAR" and resps.ndim == 3:
+        resps = resps[:, :, 0]  # AR trains on codec level 0 only
     kwargs = dict(
         text=batch["text"], text_lens=batch["text_lens"],
         proms=batch["proms"], prom_lens=batch["prom_lens"],
-        resps=batch["resps"], resp_lens=batch["resp_lens"],
+        resps=resps, resp_lens=batch["resp_lens"],
     )
     out, new_bs = _apply(
         model, params, batch_stats, rng, deterministic, extra_rngs=("noise",), **kwargs

@@ -40,6 +40,8 @@ class TrainState(flax.struct.PyTreeNode):
     params: Any
     batch_stats: Any
     opt_state: Any
+    ema_params: Any = None  # E2-TTS-style EMA weights (reference
+    #                         trainers/e2tts.py:121-124, ema_pytorch)
 
 
 LossFn = Callable[..., Any]
@@ -77,6 +79,11 @@ class Trainer:
         self.epochs = 0
         self.rng = jax.random.key(seed)
         self.tx = build_optimizer(config)
+        accum = int(config.get("gradient_accumulate_steps", 1) or 1)
+        if accum > 1:
+            # reference grad accumulation (trainers/base.py:64,130-146)
+            self.tx = optax.MultiSteps(self.tx, every_k_schedule=accum)
+        self.ema_decay = float(config.get("ema_decay", 0.0) or 0.0)
         self.schedule = build_schedule(config)
         self.total_train_loss: Dict[str, float] = defaultdict(float)
         self.finish_train = False
@@ -101,6 +108,9 @@ class Trainer:
             params=params,
             batch_stats=batch_stats,
             opt_state=opt_state,
+            ema_params=jax.tree_util.tree_map(jnp.copy, params)
+            if self.ema_decay > 0
+            else None,
         )
         if self.mesh is not None:
             from jatts_tpu.parallel.mesh import replicated
@@ -138,11 +148,18 @@ class Trainer:
             )(state.params)
             updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
+            new_ema = state.ema_params
+            if new_ema is not None:
+                d = self.ema_decay
+                new_ema = jax.tree_util.tree_map(
+                    lambda e, p: e * d + p * (1.0 - d), new_ema, new_params
+                )
             new_state = state.replace(
                 step=state.step + 1,
                 params=new_params,
                 batch_stats=new_batch_stats,
                 opt_state=new_opt_state,
+                ema_params=new_ema,
             )
             stats = dict(stats)
             stats["train/loss"] = loss
@@ -267,6 +284,11 @@ class Trainer:
                 "opt_state": jax.device_get(self.state.opt_state),
                 "steps": self.steps,
                 "epochs": self.epochs,
+                **(
+                    {"ema_params": jax.device_get(self.state.ema_params)}
+                    if self.state.ema_params is not None
+                    else {}
+                ),
             },
         )
         logging.info(f"saved checkpoint: {path}")
@@ -280,9 +302,11 @@ class Trainer:
                 raise FileNotFoundError(f"no checkpoint under {self.outdir}")
         restored = restore_checkpoint(path)
         assert self.state is not None, "call init_state before load_checkpoint"
+        ema = restored.get("ema_params", self.state.ema_params)
         if load_only_params:
             self.state = self.state.replace(
-                params=restored["params"], batch_stats=restored["batch_stats"]
+                params=restored["params"], batch_stats=restored["batch_stats"],
+                ema_params=ema,
             )
         else:
             self.state = self.state.replace(
@@ -290,6 +314,7 @@ class Trainer:
                 params=restored["params"],
                 batch_stats=restored["batch_stats"],
                 opt_state=restored["opt_state"],
+                ema_params=ema,
             )
             self.steps = int(restored["steps"])
             self.epochs = int(restored.get("epochs", 0))

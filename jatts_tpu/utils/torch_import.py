@@ -1,0 +1,191 @@
+"""PyTorch reference checkpoint -> flax params importer.
+
+The BASELINE north-star requires loading the reference's PyTorch checkpoints
+(``checkpoint-{N}steps.pkl`` = {"model": state_dict, ...},
+reference trainers/base.py:85-105) into our models and matching outputs.
+This module maps reference state_dict names onto our flax trees.
+
+Conventions:
+    torch Linear  [out, in]     -> flax Dense kernel [in, out]
+    torch Conv1d  [out, in, k]  -> flax Conv kernel [k, in, out]
+    torch depthwise Conv1d [C, 1, k] -> flax kernel [k, 1, C]
+    torch Embedding             -> flax Embed embedding
+    torch LayerNorm/BatchNorm weight/bias -> scale/bias (+ batch_stats)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import numpy as np
+
+
+def t_linear(sd, name):
+    p = {"kernel": sd[f"{name}.weight"].T}
+    if f"{name}.bias" in sd:
+        p["bias"] = sd[f"{name}.bias"]
+    return p
+
+
+def t_conv1d(sd, name, depthwise=False):
+    w = sd[f"{name}.weight"]
+    if depthwise:
+        kernel = np.transpose(w, (2, 1, 0))  # [C,1,k] -> [k,1,C]
+    else:
+        kernel = np.transpose(w, (2, 1, 0))  # [out,in,k] -> [k,in,out]
+    p = {"kernel": kernel}
+    if f"{name}.bias" in sd:
+        p["bias"] = sd[f"{name}.bias"]
+    return p
+
+
+def t_norm(sd, name):
+    return {"scale": sd[f"{name}.weight"], "bias": sd[f"{name}.bias"]}
+
+
+def t_embed(sd, name):
+    return {"embedding": sd[f"{name}.weight"]}
+
+
+def t_bn(sd, name) -> Tuple[Dict, Dict]:
+    params = {"scale": sd[f"{name}.weight"], "bias": sd[f"{name}.bias"]}
+    stats = {"mean": sd[f"{name}.running_mean"], "var": sd[f"{name}.running_var"]}
+    return params, stats
+
+
+def _mha(sd, prefix, rel_pos=True):
+    p = {
+        "linear_q": t_linear(sd, f"{prefix}.linear_q"),
+        "linear_k": t_linear(sd, f"{prefix}.linear_k"),
+        "linear_v": t_linear(sd, f"{prefix}.linear_v"),
+        "linear_out": t_linear(sd, f"{prefix}.linear_out"),
+    }
+    if rel_pos:
+        p["linear_pos"] = t_linear(sd, f"{prefix}.linear_pos")
+        p["pos_bias_u"] = sd[f"{prefix}.pos_bias_u"]
+        p["pos_bias_v"] = sd[f"{prefix}.pos_bias_v"]
+    return p
+
+
+def _ffn_conv(sd, prefix):
+    return {"w_1": t_conv1d(sd, f"{prefix}.w_1"), "w_2": t_conv1d(sd, f"{prefix}.w_2")}
+
+
+def convert_conformer_encoder(
+    sd: Dict[str, np.ndarray], prefix: str, num_blocks: int,
+    has_embed: bool = False, macaron: bool = True, use_cnn: bool = True,
+    rel_pos: bool = True,
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """reference conformer Encoder (conformer/encoder.py) -> our
+    ConformerEncoder params + batch_stats."""
+    params: Dict[str, Any] = {}
+    batch_stats: Dict[str, Any] = {}
+    if has_embed:
+        params["embed_tok"] = t_embed(sd, f"{prefix}.embed.0")
+    for i in range(num_blocks):
+        bp = f"{prefix}.encoders.{i}"
+        layer: Dict[str, Any] = {}
+        layer_bs: Dict[str, Any] = {}
+        if macaron:
+            layer["norm_ff_macaron"] = t_norm(sd, f"{bp}.norm_ff_macaron")
+            layer["feed_forward_macaron"] = _ffn_conv(sd, f"{bp}.feed_forward_macaron")
+        layer["norm_mha"] = t_norm(sd, f"{bp}.norm_mha")
+        layer["self_attn"] = _mha(sd, f"{bp}.self_attn", rel_pos=rel_pos)
+        if use_cnn:
+            layer["norm_conv"] = t_norm(sd, f"{bp}.norm_conv")
+            bn_p, bn_s = t_bn(sd, f"{bp}.conv_module.norm")
+            layer["conv_module"] = {
+                "pointwise_conv1": t_conv1d(sd, f"{bp}.conv_module.pointwise_conv1"),
+                "depthwise_conv": t_conv1d(sd, f"{bp}.conv_module.depthwise_conv", depthwise=True),
+                "norm": bn_p,
+                "pointwise_conv2": t_conv1d(sd, f"{bp}.conv_module.pointwise_conv2"),
+            }
+            layer_bs["conv_module"] = {"norm": bn_s}
+            layer["norm_final"] = t_norm(sd, f"{bp}.norm_final")
+        layer["norm_ff"] = t_norm(sd, f"{bp}.norm_ff")
+        layer["feed_forward"] = _ffn_conv(sd, f"{bp}.feed_forward")
+        params[f"encoders_{i}"] = layer
+        if layer_bs:
+            batch_stats[f"encoders_{i}"] = layer_bs
+    if f"{prefix}.after_norm.weight" in sd:
+        params["after_norm"] = t_norm(sd, f"{prefix}.after_norm")
+    return params, batch_stats
+
+
+def _predictor_stack(sd, prefix, n_layers):
+    conv = {}
+    for i in range(n_layers):
+        conv[f"conv_{i}"] = t_conv1d(sd, f"{prefix}.conv.{i}.0")
+        conv[f"norm_{i}"] = t_norm(sd, f"{prefix}.conv.{i}.2")
+    return {"conv": conv, "linear": t_linear(sd, f"{prefix}.linear")}
+
+
+def convert_fastspeech2(
+    sd: Dict[str, np.ndarray], model
+) -> Dict[str, Any]:
+    """reference jatts/models/fastspeech2.py state_dict -> flax variables."""
+    params: Dict[str, Any] = {}
+    batch_stats: Dict[str, Any] = {}
+
+    enc_p, enc_bs = convert_conformer_encoder(
+        sd, "encoder", model.elayers, has_embed=True,
+        macaron=model.use_macaron_style_in_conformer,
+        use_cnn=model.use_cnn_in_conformer,
+    )
+    params["encoder"] = enc_p
+    if enc_bs:
+        batch_stats["encoder"] = enc_bs
+
+    dec_p, dec_bs = convert_conformer_encoder(
+        sd, "decoder", model.dlayers, has_embed=False,
+        macaron=model.use_macaron_style_in_conformer,
+        use_cnn=model.use_cnn_in_conformer,
+    )
+    params["decoder"] = dec_p
+    if dec_bs:
+        batch_stats["decoder"] = dec_bs
+
+    params["duration_predictor"] = _predictor_stack(
+        sd, "duration_predictor", model.duration_predictor_layers
+    )
+    params["pitch_predictor"] = _predictor_stack(
+        sd, "pitch_predictor", model.pitch_predictor_layers
+    )
+    params["energy_predictor"] = _predictor_stack(
+        sd, "energy_predictor", model.energy_predictor_layers
+    )
+    params["pitch_embed"] = t_conv1d(sd, "pitch_embed.0")
+    params["energy_embed"] = t_conv1d(sd, "energy_embed.0")
+    params["feat_out"] = t_linear(sd, "feat_out")
+
+    if model.postnet_layers > 0:
+        pn: Dict[str, Any] = {}
+        pn_bs: Dict[str, Any] = {}
+        for i in range(model.postnet_layers):
+            pn[f"conv_{i}"] = t_conv1d(sd, f"postnet.postnet.{i}.0")
+            if model.use_batch_norm:
+                bnp, bns = t_bn(sd, f"postnet.postnet.{i}.1")
+                pn[f"bn_{i}"] = bnp
+                pn_bs[f"bn_{i}"] = bns
+        params["postnet"] = pn
+        if pn_bs:
+            batch_stats["postnet"] = pn_bs
+
+    if getattr(model, "spk_embed_dim", None):
+        params["projection"] = t_linear(sd, "projection")
+    if getattr(model, "spks", None) and model.spks > 1:
+        params["sid_emb"] = t_embed(sd, "sid_emb")
+
+    variables = {"params": params}
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
+    return variables
+
+
+def load_reference_checkpoint(path: str) -> Dict[str, np.ndarray]:
+    """Load a reference .pkl training checkpoint's model state_dict."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt["model"] if isinstance(ckpt, dict) and "model" in ckpt else ckpt
+    return {k: v.detach().cpu().numpy() for k, v in sd.items()}

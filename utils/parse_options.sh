@@ -1,0 +1,14 @@
+#!/bin/bash
+# Kaldi-style option parser: lets any --var value on the command line override
+# a shell variable named var (reference utils/parse_options.sh behavior).
+while true; do
+  [ -z "${1:-}" ] && break
+  case "$1" in
+    --*) name=$(echo "$1" | sed s/^--// | sed s/-/_/g)
+         eval '[ -z "${'"$name"'+xxx}" ]' && echo "$0: invalid option $1" 1>&2 && exit 1
+         eval "$name=\"$2\""
+         shift 2 ;;
+    *) break ;;
+  esac
+done
+true
