@@ -125,9 +125,21 @@ def main():
     from jatts_tpu.parallel.mesh import get_mesh
 
     mesh = get_mesh()
+
+    eval_hook = None
+    if config["model_type"] in ("FastSpeech2", "MatchaTTS", "MatchaTTS_MAS", "VITS"):
+        from jatts_tpu.train.intermediate import make_mel_eval_hook
+
+        n_save = int(config.get("num_save_intermediate_results", 4))
+        eval_hook = make_mel_eval_hook(
+            [dev_set[i] for i in range(min(n_save, len(dev_set)))],
+            num_save=n_save,
+            max_frames=int(config.get("eval_max_frames", 1024)),
+        )
+
     trainer = Trainer(
         config, model, criterions, loss_fn, train_loader, dev_loader,
-        outdir=args.outdir, mesh=mesh, seed=args.seed,
+        outdir=args.outdir, mesh=mesh, seed=args.seed, eval_hook=eval_hook,
     )
 
     first_batch = collater([train_set[i] for i in sampler.batches[0]])

@@ -208,6 +208,7 @@ class Trainer:
                 for k, v in stats.items():
                     self.total_train_loss[k] += float(v)
 
+                self._check_profile()
                 if self.steps % log_every == 0:
                     self._log_interval(log_every, t0)
                     t0 = time.time()
@@ -226,6 +227,40 @@ class Trainer:
         return self._model_kwargs(batch)
 
     # -- hooks ------------------------------------------------------------
+    def _check_profile(self) -> None:
+        """jax.profiler trace over a step window (replaces the reference's
+        ad-hoc wall-clock logs, SURVEY.md §5.1). Configure with
+        ``profile_start_step`` / ``profile_num_steps`` in the yaml."""
+        start = int(self.config.get("profile_start_step", 0) or 0)
+        if not start:
+            return
+        n = int(self.config.get("profile_num_steps", 5))
+        if self.steps == start:
+            import jax.profiler
+
+            self._profile_dir = os.path.join(self.outdir, "profile")
+            jax.profiler.start_trace(self._profile_dir)
+            logging.info(f"profiler trace started -> {self._profile_dir}")
+        elif self.steps == start + n:
+            import jax.profiler
+
+            jax.tree_util.tree_map(
+                lambda x: x.block_until_ready() if hasattr(x, "block_until_ready") else x,
+                self.state.params,
+            )
+            jax.profiler.stop_trace()
+            logging.info("profiler trace stopped")
+
+    def _device_memory_stats(self) -> Dict[str, float]:
+        try:
+            stats = jax.devices()[0].memory_stats() or {}
+            return {
+                "mem/bytes_in_use_gb": stats.get("bytes_in_use", 0) / 2**30,
+                "mem/peak_bytes_gb": stats.get("peak_bytes_in_use", 0) / 2**30,
+            }
+        except Exception:  # noqa: BLE001 — not all backends expose stats
+            return {}
+
     @property
     def writer(self):
         if self._writer is None:
@@ -243,6 +278,9 @@ class Trainer:
             msgs.append(f"{k}={avg:.4f}")
         lr = float(self.schedule(self.steps))
         self.writer.add_scalar("train/lr", lr, self.steps)
+        for k, v in self._device_memory_stats().items():
+            self.writer.add_scalar(k, v, self.steps)  # peak-memory logging
+            #   (reference logs peak CUDA memory, trainers/base.py:215-217)
         logging.info(
             f"(steps {self.steps}) {' '.join(msgs)} lr={lr:.2e} "
             f"({interval / max(dt, 1e-9):.2f} steps/s)"

@@ -97,6 +97,8 @@ def test_full_recipe(tmp_path):
         "save_interval_steps": 4,
         "eval_interval_steps": 2,
         "log_interval_steps": 2,
+        "eval_max_frames": 128,
+        "num_save_intermediate_results": 2,
     }
     conf_path = os.path.join(root, "conf.yaml")
     with open(conf_path, "w") as f:
@@ -139,6 +141,13 @@ def test_full_recipe(tmp_path):
     from jatts_tpu.utils.checkpoint import find_latest_checkpoint
 
     assert find_latest_checkpoint(expdir) is not None
+    # intermediate eval artifacts (generated-vs-ref mel plots)
+    pred_dirs = [d for d in os.listdir(expdir) if d == "predictions"]
+    assert pred_dirs, "no predictions directory from eval hook"
+    pngs = []
+    for root_, _, files in os.walk(os.path.join(expdir, "predictions")):
+        pngs += [f for f in files if f.endswith(".png")]
+    assert pngs, "no mel plots saved"
 
     # stage 4: decode (no vocoder configured -> mel npy outputs)
     from jatts_tpu.bin.tts_decode import main as decode_main
