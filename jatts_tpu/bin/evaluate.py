@@ -42,6 +42,58 @@ def _eval_one(task):
     return m
 
 
+def _eval_asr(tasks, rows, sr, args):
+    """CER via a local ASR model (gated — the reference uses rinna/nue-asr
+    + pyopenjtalk kana normalization, evaluate.py:35-112; weights are not in
+    this image, so this requires --asr-path with local weights)."""
+    try:
+        import torch  # noqa: PLC0415
+        from transformers import pipeline  # noqa: PLC0415
+
+        asr = pipeline("automatic-speech-recognition", model=getattr(args, "asr_path", None))
+    except Exception as e:  # noqa: BLE001
+        import logging
+
+        logging.warning(f"ASR unavailable ({e}); skipping CER")
+        return
+    ref_by_utt = {r["sample_id"]: r.get("original_text", "") for r in rows}
+    total_err, total_len = 0, 0
+    for utt, gen_path, *_ in tasks:
+        hyp = asr(gen_path)["text"]
+        ref = ref_by_utt.get(utt, "")
+        total_err += levenshtein(hyp, ref)
+        total_len += max(len(ref), 1)
+    print(f"CER: {100.0 * total_err / max(total_len, 1):.2f}%")
+
+
+def _eval_spkemb(tasks, sr):
+    """Speaker cosine similarity (gated on speechbrain ECAPA, reference
+    evaluate.py:217-244)."""
+    try:
+        import torch  # noqa: PLC0415
+        from speechbrain.pretrained import EncoderClassifier  # noqa: PLC0415
+
+        clf = EncoderClassifier.from_hparams("speechbrain/spkrec-ecapa-voxceleb")
+    except Exception as e:  # noqa: BLE001
+        import logging
+
+        logging.warning(f"speechbrain unavailable ({e}); skipping spkemb sim")
+        return
+    import torch
+
+    sims = []
+    for utt, gen_path, ref_path, *_ in tasks:
+        wavs = []
+        for p in (gen_path, ref_path):
+            wav, _ = read_audio(p, 16000)
+            wavs.append(torch.from_numpy(wav)[None])
+        with torch.no_grad():
+            e1 = clf.encode_batch(wavs[0]).squeeze()
+            e2 = clf.encode_batch(wavs[1]).squeeze()
+        sims.append(float(torch.nn.functional.cosine_similarity(e1, e2, dim=0)))
+    print(f"spkemb cosine similarity: {np.mean(sims):.4f}")
+
+
 def main():
     parser = argparse.ArgumentParser(description="Objective evaluation (stage 5).")
     parser.add_argument("--csv", required=True, help="test-set csv with wav_path refs")
@@ -50,6 +102,7 @@ def main():
     parser.add_argument("--f0-config", default=None)
     parser.add_argument("--metrics", nargs="+", default=["mcd"])
     parser.add_argument("--n-jobs", type=int, default=8)
+    parser.add_argument("--asr-path", default=None, help="local ASR weights for CER")
     parser.add_argument("--out", default=None, help="results csv")
     parser.add_argument("--verbose", type=int, default=1)
     args = parser.parse_args()
@@ -76,6 +129,11 @@ def main():
         f0min = float(f0_ranges.get(spk, {}).get("f0min", 40))
         f0max = float(f0_ranges.get(spk, {}).get("f0max", 800))
         tasks.append((utt, gen_path, row["wav_path"], sr, f0min, f0max))
+
+    if "asr" in args.metrics:
+        _eval_asr(tasks, rows, sr, args)
+    if "spkemb" in args.metrics:
+        _eval_spkemb(tasks, sr)
 
     results = []
     if "mcd" in args.metrics:

@@ -102,6 +102,15 @@ def main():
             emb = _extract_spkemb(wav, sr)
             if emb is not None:
                 write_hdf5(feat_path, "spkemb", emb)
+        if any(f.startswith("encodec") for f in feat_list):
+            codes = _extract_encodec(wav, sr, config.get("codec_path"))
+            if codes is not None:
+                write_hdf5(feat_path, "encodec", codes)
+                if row.get("prompt_wav_path"):
+                    p_wav, _ = read_audio(row["prompt_wav_path"], sr)
+                    p_codes = _extract_encodec(p_wav, sr, config.get("codec_path"))
+                    if p_codes is not None:
+                        write_hdf5(feat_path, "prompt_encodec", p_codes)
         row["feat_path"] = feat_path
 
     out_csv = args.out_csv or args.csv
@@ -109,6 +118,24 @@ def main():
         [] if "feat_path" in fieldnames else ["feat_path"]
     ))
     logging.info(f"processed {len(rows)} utterances -> {args.dumpdir}")
+
+
+def _extract_encodec(wav, sr, codec_path=None):
+    """EnCodec RVQ codes [T, 8] via transformers when local weights exist
+    (the reference's extractor, feature_extract/encodec.py:18-100)."""
+    try:
+        import torch  # noqa: PLC0415
+        from transformers import EncodecModel  # noqa: PLC0415
+
+        model = EncodecModel.from_pretrained(
+            codec_path or "facebook/encodec_24khz"
+        ).eval()
+        with torch.no_grad():
+            out = model.encode(torch.from_numpy(wav)[None, None], bandwidth=6.0)
+        return out.audio_codes[0, 0].T.numpy().astype(np.int32)
+    except Exception as e:  # noqa: BLE001 — package or weights unavailable
+        logging.warning(f"encodec unavailable ({e}); skipping codes")
+        return None
 
 
 def _extract_spkemb(wav, sr):

@@ -3,12 +3,13 @@
 The scan-based `ops.mas` keeps the whole batch on device but issues T_feats
 sequential [B, T_text] vector steps through XLA's while-loop machinery. This
 kernel runs the entire DP for one batch element inside ONE Pallas program:
-the lattice stays resident in VMEM, the forward recurrence is a fori_loop of
-8x128-lane VPU ops (shifted max + add), and the Viterbi backtrace runs
-in-kernel — no HBM round trips between frames.
+the lattice stays resident in VMEM and the forward recurrence is a fori_loop
+of full-lane row ops (token axis on the 128-lane dimension, frame axis on
+sublanes, so all dynamic indexing is in the sublane dimension — a Mosaic
+requirement), with the Viterbi backtrace run in-kernel writing to SMEM.
 
-Grid: one program per batch element. Falls back to `ops.mas.mas_path` when
-Pallas/TPU is unavailable (tests run it with interpret=True).
+Grid: one program per batch element. Tests run it with interpret=True; on
+TPU it compiles through Mosaic.
 """
 
 from __future__ import annotations
@@ -23,55 +24,62 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG = -1e9
 
 
+_BB = 8  # batch elements per program (one sublane group)
+
+
 def _mas_kernel(tl_ref, fl_ref, lp_ref, q_ref, path_ref):
-    """Per-batch-element MAS.
+    """MAS for a block of _BB batch elements, vectorized on sublanes.
 
-    tl_ref/fl_ref: SMEM scalars (text_len, feats_len) via scalar prefetch.
-    lp_ref: [T_text, T_feats] log probs (already masked on invalid tokens).
-    q_ref:  [T_text, T_feats] DP lattice scratch/output.
-    path_ref: [1, T_feats] int32 output path.
+    tl_ref/fl_ref: SMEM scalar-prefetch (text_len, feats_len per batch).
+    lp_ref: [BB, T_feats, T_text] log probs (invalid tokens pre-masked).
+    q_ref:  [BB, T_feats, T_text] DP lattice (VMEM).
+    path_ref: [BB, T_feats] int32 paths (SMEM — scalar stores).
     """
-    b = pl.program_id(0)
-    t_text = lp_ref.shape[0]
-    t_feats = lp_ref.shape[1]
-    text_len = tl_ref[b]
-    feats_len = fl_ref[b]
+    blk = pl.program_id(0)
+    bb, t_feats, t_text = lp_ref.shape
 
-    tok_ids = jax.lax.broadcasted_iota(jnp.int32, (t_text, 1), 0)
-    valid_tok = tok_ids < text_len
+    text_len = jnp.stack([tl_ref[blk * bb + i] for i in range(bb)])  # [BB]
+    feats_len = jnp.stack([fl_ref[blk * bb + i] for i in range(bb)])
 
-    # ---- forward DP over frames ----
-    q0 = jnp.where(tok_ids == 0, lp_ref[:, 0:1], _NEG)
-    q_ref[:, 0:1] = q0
+    tok_ids = jax.lax.broadcasted_iota(jnp.int32, (bb, 1, t_text), 2)
+    valid_tok = tok_ids < text_len[:, None, None]
+
+    # ---- forward DP over frames, all BB samples per step ----
+    q_ref[:, 0:1, :] = jnp.where(tok_ids == 0, lp_ref[:, 0:1, :], _NEG)
 
     def fwd(j, _):
-        q_prev = q_ref[:, pl.ds(j - 1, 1)]  # [T_text, 1]
-        # shift down by one token: q_prev[i-1]
-        shifted = pltpu.roll(q_prev, 1, 0)
+        q_prev = q_ref[:, pl.ds(j - 1, 1), :]  # [BB, 1, T_text]
+        shifted = pltpu.roll(q_prev, 1, 2)  # q_prev[i-1] along lanes
         shifted = jnp.where(tok_ids == 0, _NEG, shifted)
-        q_j = jnp.maximum(shifted, q_prev) + lp_ref[:, pl.ds(j, 1)]
+        q_j = jnp.maximum(shifted, q_prev) + lp_ref[:, pl.ds(j, 1), :]
         q_j = jnp.maximum(q_j, _NEG)
-        q_ref[:, pl.ds(j, 1)] = jnp.where(valid_tok, q_j, _NEG)
+        q_ref[:, pl.ds(j, 1), :] = jnp.where(valid_tok, q_j, _NEG)
         return 0
 
     jax.lax.fori_loop(1, t_feats, fwd, 0)
 
-    # ---- backtrace (reverse over frames) ----
+    # ---- backtrace (reverse over frames), vectorized gathers ----
     last_tok = text_len - 1
-    path_ref[0, t_feats - 1] = last_tok
+    for i in range(bb):
+        path_ref[i, t_feats - 1] = last_tok[i]
 
-    def bwd(k, a_next):
+    def bwd(k, a_next):  # a_next: [BB]
         j = t_feats - 2 - k
         i_b = a_next
         i_a = jnp.maximum(i_b - 1, 0)
-        q_col = q_ref[:, pl.ds(j, 1)]  # [T_text, 1]
-        q_ia = jnp.sum(jnp.where(tok_ids == i_a, q_col, 0.0))
-        q_ib = jnp.sum(jnp.where(tok_ids == i_b, q_col, 0.0))
+        q_row = q_ref[:, pl.ds(j, 1), :]  # [BB, 1, T_text]
+        q_ia = jnp.sum(
+            jnp.where(tok_ids == i_a[:, None, None], q_row, 0.0), axis=(1, 2)
+        )
+        q_ib = jnp.sum(
+            jnp.where(tok_ids == i_b[:, None, None], q_row, 0.0), axis=(1, 2)
+        )
         a_j = jnp.where(i_b == 0, 0, jnp.where(q_ia >= q_ib, i_a, i_b))
         # pin frames at/after the last valid frame to the last token so the
         # recurrence restarts at j = feats_len - 2 (padded-frame handling)
         a_j = jnp.where(j >= feats_len - 1, last_tok, a_j)
-        path_ref[0, j] = a_j
+        for i in range(bb):
+            path_ref[i, j] = a_j[i]
         return a_j
 
     jax.lax.fori_loop(0, t_feats - 1, bwd, last_tok)
@@ -86,40 +94,42 @@ def mas_path_pallas(
 ) -> jnp.ndarray:
     """Drop-in replacement for ops.mas.mas_path via the Pallas kernel."""
     b, t_feats, t_text = log_p_attn.shape
-    lp = jnp.swapaxes(log_p_attn.astype(jnp.float32), 1, 2)  # [B, T_text, T_feats]
-    tok_valid = jnp.arange(t_text)[None, :] < text_lengths[:, None]
-    lp = jnp.where(tok_valid[:, :, None], lp, _NEG)
+    bb = _BB
+    b_pad = -(-b // bb) * bb
+    lp = log_p_attn.astype(jnp.float32)  # [B, T_feats, T_text]
+    tok_valid = jnp.arange(t_text)[None, None, :] < text_lengths[:, None, None]
+    lp = jnp.where(tok_valid, lp, _NEG)
+    if b_pad != b:
+        lp = jnp.pad(lp, ((0, b_pad - b), (0, 0), (0, 0)))
+    tl = jnp.pad(text_lengths.astype(jnp.int32), (0, b_pad - b), constant_values=1)
+    fl = jnp.pad(feats_lengths.astype(jnp.int32), (0, b_pad - b), constant_values=1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(b,),
+        grid=(b_pad // bb,),
         in_specs=[
-            pl.BlockSpec((1, t_text, t_feats), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((bb, t_feats, t_text), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, t_text, t_feats), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((bb, t_feats, t_text), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, t_feats), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            # scalar element stores are only legal in SMEM on Mosaic
+            pl.BlockSpec((bb, t_feats), lambda i, *_: (i, 0),
+                         memory_space=pltpu.SMEM),
         ],
     )
 
-    def kernel(tl_ref, fl_ref, lp_blk, q_blk, path_blk):
-        _mas_kernel(
-            tl_ref, fl_ref, lp_blk.at[0], q_blk.at[0], path_blk.at[0]
-        )
-
     _, path = pl.pallas_call(
-        kernel,
+        _mas_kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((b, t_text, t_feats), jnp.float32),
-            jax.ShapeDtypeStruct((b, 1, t_feats), jnp.int32),
+            jax.ShapeDtypeStruct((b_pad, t_feats, t_text), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, t_feats), jnp.int32),
         ],
         interpret=interpret,
-    )(text_lengths.astype(jnp.int32), feats_lengths.astype(jnp.int32), lp)
-    path = path[:, 0, :]
+    )(tl, fl, lp)
+    path = path[:b]
     # clamp padded frames like the reference wrapper
     frame_valid = jnp.arange(t_feats)[None, :] < feats_lengths[:, None]
     return jnp.where(frame_valid, path, (text_lengths - 1)[:, None]).astype(jnp.int32)
