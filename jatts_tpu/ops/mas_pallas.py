@@ -8,8 +8,12 @@ of full-lane row ops (token axis on the 128-lane dimension, frame axis on
 sublanes, so all dynamic indexing is in the sublane dimension — a Mosaic
 requirement), with the Viterbi backtrace run in-kernel writing to SMEM.
 
-Grid: one program per batch element. Tests run it with interpret=True; on
-TPU it compiles through Mosaic.
+Status (v5e, B=16 x T_feats=1024 x T_text=128): verified bit-exact against
+the scan version on hardware; ~5.5 ms vs ~4.2 ms for the scan (the per-sample
+grid serializes batch elements — a batched-sublane variant hits current
+Mosaic layout-cast limits, so the scan path remains the default in models).
+
+Grid: one program per batch element. Tests run it with interpret=True.
 """
 
 from __future__ import annotations
@@ -24,62 +28,52 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG = -1e9
 
 
-_BB = 8  # batch elements per program (one sublane group)
-
-
 def _mas_kernel(tl_ref, fl_ref, lp_ref, q_ref, path_ref):
-    """MAS for a block of _BB batch elements, vectorized on sublanes.
+    """Per-batch-element MAS.
 
     tl_ref/fl_ref: SMEM scalar-prefetch (text_len, feats_len per batch).
-    lp_ref: [BB, T_feats, T_text] log probs (invalid tokens pre-masked).
-    q_ref:  [BB, T_feats, T_text] DP lattice (VMEM).
-    path_ref: [BB, T_feats] int32 paths (SMEM — scalar stores).
+    lp_ref: [T_feats, T_text] log probs (invalid tokens pre-masked to -1e9).
+    q_ref:  [T_feats, T_text] DP lattice (VMEM).
+    path_ref: [1, T_feats] int32 path (SMEM — scalar stores).
     """
-    blk = pl.program_id(0)
-    bb, t_feats, t_text = lp_ref.shape
+    b = pl.program_id(0)
+    t_feats, t_text = lp_ref.shape
+    text_len = tl_ref[b]
+    feats_len = fl_ref[b]
 
-    text_len = jnp.stack([tl_ref[blk * bb + i] for i in range(bb)])  # [BB]
-    feats_len = jnp.stack([fl_ref[blk * bb + i] for i in range(bb)])
+    tok_ids = jax.lax.broadcasted_iota(jnp.int32, (1, t_text), 1)
+    valid_tok = tok_ids < text_len
 
-    tok_ids = jax.lax.broadcasted_iota(jnp.int32, (bb, 1, t_text), 2)
-    valid_tok = tok_ids < text_len[:, None, None]
-
-    # ---- forward DP over frames, all BB samples per step ----
-    q_ref[:, 0:1, :] = jnp.where(tok_ids == 0, lp_ref[:, 0:1, :], _NEG)
+    # ---- forward DP over frames (sublane axis) ----
+    q_ref[0:1, :] = jnp.where(tok_ids == 0, lp_ref[0:1, :], _NEG)
 
     def fwd(j, _):
-        q_prev = q_ref[:, pl.ds(j - 1, 1), :]  # [BB, 1, T_text]
-        shifted = pltpu.roll(q_prev, 1, 2)  # q_prev[i-1] along lanes
+        q_prev = q_ref[pl.ds(j - 1, 1), :]  # [1, T_text]
+        shifted = pltpu.roll(q_prev, 1, 1)  # q_prev[i-1] along lanes
         shifted = jnp.where(tok_ids == 0, _NEG, shifted)
-        q_j = jnp.maximum(shifted, q_prev) + lp_ref[:, pl.ds(j, 1), :]
+        q_j = jnp.maximum(shifted, q_prev) + lp_ref[pl.ds(j, 1), :]
         q_j = jnp.maximum(q_j, _NEG)
-        q_ref[:, pl.ds(j, 1), :] = jnp.where(valid_tok, q_j, _NEG)
+        q_ref[pl.ds(j, 1), :] = jnp.where(valid_tok, q_j, _NEG)
         return 0
 
     jax.lax.fori_loop(1, t_feats, fwd, 0)
 
-    # ---- backtrace (reverse over frames), vectorized gathers ----
+    # ---- backtrace (reverse over frames) ----
     last_tok = text_len - 1
-    for i in range(bb):
-        path_ref[i, t_feats - 1] = last_tok[i]
+    path_ref[0, t_feats - 1] = last_tok
 
-    def bwd(k, a_next):  # a_next: [BB]
+    def bwd(k, a_next):
         j = t_feats - 2 - k
         i_b = a_next
         i_a = jnp.maximum(i_b - 1, 0)
-        q_row = q_ref[:, pl.ds(j, 1), :]  # [BB, 1, T_text]
-        q_ia = jnp.sum(
-            jnp.where(tok_ids == i_a[:, None, None], q_row, 0.0), axis=(1, 2)
-        )
-        q_ib = jnp.sum(
-            jnp.where(tok_ids == i_b[:, None, None], q_row, 0.0), axis=(1, 2)
-        )
+        q_row = q_ref[pl.ds(j, 1), :]  # [1, T_text]
+        q_ia = jnp.sum(jnp.where(tok_ids == i_a, q_row, 0.0))
+        q_ib = jnp.sum(jnp.where(tok_ids == i_b, q_row, 0.0))
         a_j = jnp.where(i_b == 0, 0, jnp.where(q_ia >= q_ib, i_a, i_b))
         # pin frames at/after the last valid frame to the last token so the
         # recurrence restarts at j = feats_len - 2 (padded-frame handling)
         a_j = jnp.where(j >= feats_len - 1, last_tok, a_j)
-        for i in range(bb):
-            path_ref[i, j] = a_j[i]
+        path_ref[0, j] = a_j
         return a_j
 
     jax.lax.fori_loop(0, t_feats - 1, bwd, last_tok)
@@ -94,42 +88,39 @@ def mas_path_pallas(
 ) -> jnp.ndarray:
     """Drop-in replacement for ops.mas.mas_path via the Pallas kernel."""
     b, t_feats, t_text = log_p_attn.shape
-    bb = _BB
-    b_pad = -(-b // bb) * bb
     lp = log_p_attn.astype(jnp.float32)  # [B, T_feats, T_text]
     tok_valid = jnp.arange(t_text)[None, None, :] < text_lengths[:, None, None]
     lp = jnp.where(tok_valid, lp, _NEG)
-    if b_pad != b:
-        lp = jnp.pad(lp, ((0, b_pad - b), (0, 0), (0, 0)))
-    tl = jnp.pad(text_lengths.astype(jnp.int32), (0, b_pad - b), constant_values=1)
-    fl = jnp.pad(feats_lengths.astype(jnp.int32), (0, b_pad - b), constant_values=1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(b_pad // bb,),
+        grid=(b,),
         in_specs=[
-            pl.BlockSpec((bb, t_feats, t_text), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, t_feats, t_text), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((bb, t_feats, t_text), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, t_feats, t_text), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             # scalar element stores are only legal in SMEM on Mosaic
-            pl.BlockSpec((bb, t_feats), lambda i, *_: (i, 0),
+            pl.BlockSpec((1, 1, t_feats), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.SMEM),
         ],
     )
 
+    def kernel(tl_ref, fl_ref, lp_blk, q_blk, path_blk):
+        _mas_kernel(tl_ref, fl_ref, lp_blk.at[0], q_blk.at[0], path_blk.at[0])
+
     _, path = pl.pallas_call(
-        _mas_kernel,
+        kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((b_pad, t_feats, t_text), jnp.float32),
-            jax.ShapeDtypeStruct((b_pad, t_feats), jnp.int32),
+            jax.ShapeDtypeStruct((b, t_feats, t_text), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, t_feats), jnp.int32),
         ],
         interpret=interpret,
-    )(tl, fl, lp)
-    path = path[:b]
+    )(text_lengths.astype(jnp.int32), feats_lengths.astype(jnp.int32), lp)
+    path = path[:, 0, :]
     # clamp padded frames like the reference wrapper
     frame_valid = jnp.arange(t_feats)[None, :] < feats_lengths[:, None]
     return jnp.where(frame_valid, path, (text_lengths - 1)[:, None]).astype(jnp.int32)
