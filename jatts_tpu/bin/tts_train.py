@@ -22,7 +22,7 @@ from jatts_tpu.data.batcher import (
 from jatts_tpu.data.dataset import TTSDataset
 from jatts_tpu.losses import LOSS_REGISTRY
 from jatts_tpu.models import get_model
-from jatts_tpu.train.steps import get_loss_fn
+from jatts_tpu.train.steps import get_kwargs_fn, get_loss_fn
 from jatts_tpu.train.trainer import Trainer
 from jatts_tpu.utils.config import dump_config, load_config
 
@@ -140,6 +140,7 @@ def main():
     trainer = Trainer(
         config, model, criterions, loss_fn, train_loader, dev_loader,
         outdir=args.outdir, mesh=mesh, seed=args.seed, eval_hook=eval_hook,
+        kwargs_fn=get_kwargs_fn(config["trainer_type"]),
     )
 
     first_batch = collater([train_set[i] for i in sampler.batches[0]])

@@ -34,16 +34,21 @@ def _apply(model, params, batch_stats, rng, deterministic, extra_rngs=(), **kwar
     return out, batch_stats
 
 
+def fastspeech2_kwargs(batch: Dict[str, Any], model=None) -> Dict[str, Any]:
+    return dict(
+        xs=batch["xs"], ilens=batch["ilens"], ys=batch["ys"], olens=batch["olens"],
+        ds=batch["ds"], ps=batch["ps"], es=batch["es"],
+        spembs=batch.get("spembs"), sids=batch.get("sids"),
+    )
+
+
 def fastspeech2_loss(
     model, params, batch_stats, batch: Dict[str, Any], rng, criterions,
     config, step, deterministic: bool,
 ):
     """reference jatts/trainers/fastspeech2.py:24-100."""
     out, new_bs = _apply(
-        model, params, batch_stats, rng, deterministic,
-        xs=batch["xs"], ilens=batch["ilens"], ys=batch["ys"], olens=batch["olens"],
-        ds=batch["ds"], ps=batch["ps"], es=batch["es"],
-        spembs=batch.get("spembs"), sids=batch.get("sids"),
+        model, params, batch_stats, rng, deterministic, **fastspeech2_kwargs(batch)
     )
     mel_loss = criterions["MelLoss"](
         out["after_outs"], out["before_outs"], out["ys"], out["olens"]
@@ -66,6 +71,9 @@ def fastspeech2_loss(
 LOSS_FN_REGISTRY = {
     "FastSpeech2Trainer": fastspeech2_loss,
 }
+KWARGS_REGISTRY = {
+    "FastSpeech2Trainer": fastspeech2_kwargs,
+}
 
 
 def get_loss_fn(trainer_type: str):
@@ -74,16 +82,27 @@ def get_loss_fn(trainer_type: str):
     return LOSS_FN_REGISTRY[trainer_type]
 
 
+def get_kwargs_fn(trainer_type: str):
+    """batch -> model.__call__ kwargs (used for both init and the loss)."""
+    if trainer_type not in KWARGS_REGISTRY:
+        _register_optional()
+    return KWARGS_REGISTRY[trainer_type]
+
+
 def _register_optional():
-    from jatts_tpu.train.steps_matcha import matchatts_loss  # noqa: PLC0415
+    from jatts_tpu.train.steps_matcha import matchatts_kwargs, matchatts_loss  # noqa: PLC0415
 
     LOSS_FN_REGISTRY.setdefault("MatchaTTSTrainer", matchatts_loss)
-    from jatts_tpu.train.steps_vits import vits_loss  # noqa: PLC0415
+    KWARGS_REGISTRY.setdefault("MatchaTTSTrainer", matchatts_kwargs)
+    from jatts_tpu.train.steps_vits import vits_kwargs, vits_loss  # noqa: PLC0415
 
     LOSS_FN_REGISTRY.setdefault("VITSTrainer", vits_loss)
-    from jatts_tpu.train.steps_e2tts import e2tts_loss  # noqa: PLC0415
+    KWARGS_REGISTRY.setdefault("VITSTrainer", vits_kwargs)
+    from jatts_tpu.train.steps_e2tts import e2tts_kwargs, e2tts_loss  # noqa: PLC0415
 
     LOSS_FN_REGISTRY.setdefault("E2TTSTrainer", e2tts_loss)
-    from jatts_tpu.train.steps_valle import valle_loss  # noqa: PLC0415
+    KWARGS_REGISTRY.setdefault("E2TTSTrainer", e2tts_kwargs)
+    from jatts_tpu.train.steps_valle import valle_kwargs, valle_loss  # noqa: PLC0415
 
     LOSS_FN_REGISTRY.setdefault("VALLETrainer", valle_loss)
+    KWARGS_REGISTRY.setdefault("VALLETrainer", valle_kwargs)

@@ -16,18 +16,23 @@ from jatts_tpu.ops.masks import sequence_mask
 from jatts_tpu.train.steps import _apply
 
 
-def matchatts_loss(
-    model, params, batch_stats, batch: Dict[str, Any], rng, criterions,
-    config, step, deterministic: bool,
-):
+def matchatts_kwargs(batch: Dict[str, Any], model=None) -> Dict[str, Any]:
     kwargs = dict(
         xs=batch["xs"], ilens=batch["ilens"], ys=batch["ys"], olens=batch["olens"],
         spembs=batch.get("spembs"), sids=batch.get("sids"),
     )
-    if "ds" in batch and "MAS" not in type(model).__name__:
+    if "ds" in batch and (model is None or "MAS" not in type(model).__name__):
         kwargs["ds"] = batch["ds"]
+    return kwargs
+
+
+def matchatts_loss(
+    model, params, batch_stats, batch: Dict[str, Any], rng, criterions,
+    config, step, deterministic: bool,
+):
     out, new_bs = _apply(
-        model, params, batch_stats, rng, deterministic, extra_rngs=("noise",), **kwargs
+        model, params, batch_stats, rng, deterministic, extra_rngs=("noise",),
+        **matchatts_kwargs(batch, model),
     )
 
     step = jnp.asarray(step, jnp.float32)

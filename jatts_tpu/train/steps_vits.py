@@ -10,14 +10,20 @@ import jax.numpy as jnp
 from jatts_tpu.train.steps import _apply
 
 
+def vits_kwargs(batch: Dict[str, Any], model=None) -> Dict[str, Any]:
+    return dict(
+        xs=batch["xs"], ilens=batch["ilens"], ys=batch["ys"], olens=batch["olens"],
+        spembs=batch.get("spembs"), sids=batch.get("sids"),
+    )
+
+
 def vits_loss(
     model, params, batch_stats, batch: Dict[str, Any], rng, criterions,
     config, step, deterministic: bool,
 ):
     out, new_bs = _apply(
         model, params, batch_stats, rng, deterministic, extra_rngs=("noise",),
-        xs=batch["xs"], ilens=batch["ilens"], ys=batch["ys"], olens=batch["olens"],
-        spembs=batch.get("spembs"), sids=batch.get("sids"),
+        **vits_kwargs(batch),
     )
     step = jnp.asarray(step, jnp.float32)
     dp_start = float(config.get("dp_train_start_steps", 0) or 0)

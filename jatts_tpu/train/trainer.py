@@ -65,6 +65,7 @@ class Trainer:
         mesh=None,
         seed: int = 0,
         eval_hook: Optional[Callable] = None,
+        kwargs_fn: Optional[Callable] = None,  # batch -> model.__call__ kwargs
     ):
         self.config = config
         self.model = model
@@ -75,6 +76,7 @@ class Trainer:
         self.outdir = outdir
         self.mesh = mesh
         self.eval_hook = eval_hook
+        self.kwargs_fn = kwargs_fn
         self.steps = 0
         self.epochs = 0
         self.rng = jax.random.key(seed)
@@ -119,7 +121,10 @@ class Trainer:
         return self.state
 
     def _init_variables(self, rng, batch):
-        kwargs = self._model_kwargs(batch)
+        if self.kwargs_fn is not None:
+            kwargs = self.kwargs_fn(batch, self.model)
+        else:
+            kwargs = self._model_kwargs(batch)
         return self.model.init(
             {"params": rng, "dropout": rng, "noise": rng}, **kwargs, deterministic=False
         )

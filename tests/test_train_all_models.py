@@ -35,11 +35,11 @@ BASE_CONFIG = {
 }
 
 
-def _run(model, loss_fn, criterions, batch, config=None, tmp="/tmp/jatts_t"):
+def _run(model, loss_fn, criterions, batch, config=None, tmp="/tmp/jatts_t", kwargs_fn=None):
     cfg = {**BASE_CONFIG, **(config or {})}
     trainer = Trainer(
         cfg, model, criterions, loss_fn, FakeLoader([batch]),
-        outdir=tmp, mesh=get_mesh(),
+        outdir=tmp, mesh=get_mesh(), kwargs_fn=kwargs_fn,
     )
     trainer.run()
     assert trainer.steps == 2
@@ -113,10 +113,13 @@ def test_e2tts_trainer_with_ema_and_accum(tmp_path):
         "olens": np.full((b,), tf, np.int32),
         "ilens": np.full((b,), 10, np.int32),
     }
+    from jatts_tpu.train.steps import get_kwargs_fn
+
     model = E2TTS(idim=20, odim=8, dim=32, depth=2, heads=2, ff_mult=2)
     trainer = _run(
         model, get_loss_fn("E2TTSTrainer"), {}, batch,
         {"ema_decay": 0.999, "gradient_accumulate_steps": 2}, str(tmp_path),
+        kwargs_fn=get_kwargs_fn("E2TTSTrainer"),
     )
     assert trainer.state.ema_params is not None
 
@@ -134,5 +137,8 @@ def test_valle_ar_trainer(tmp_path):
         "resps": rng.integers(0, 32, (b, 10, 8)).astype(np.int32),
         "resp_lens": np.full((b,), 10, np.int32),
     }
+    from jatts_tpu.train.steps import get_kwargs_fn
+
     model = VALLEAR(idim=0, n_tokens=32, d_model=32, n_heads=2, n_layers=2)
-    _run(model, get_loss_fn("VALLETrainer"), {}, batch, tmp=str(tmp_path))
+    _run(model, get_loss_fn("VALLETrainer"), {}, batch, tmp=str(tmp_path),
+         kwargs_fn=get_kwargs_fn("VALLETrainer"))
