@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""VALL-E AR decode: KV-cached scan vs the reference's full-reforward scheme.
+
+The reference re-runs the ENTIRE transformer over the whole growing sequence
+for every generated token (jatts/models/valle_ar.py:77-101). This measures
+our KV-cached lax.scan decode and a faithful reimplementation of the
+full-reforward strategy at the same model size.
+"""
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from jatts_tpu.models.valle import VALLEAR, ar_generate
+
+    b, tx, tp = 4, 64, 225
+    steps = 256
+    model = VALLEAR(idim=0, n_tokens=1024, d_model=1024, n_heads=16, n_layers=12)
+    rng = np.random.default_rng(0)
+    text = jnp.asarray(rng.integers(0, 1024, (b, tx)).astype(np.int32))
+    text_lens = jnp.full((b,), tx, jnp.int32)
+    proms = jnp.asarray(rng.integers(0, 1024, (b, tp, 8)).astype(np.int32))
+    prom_lens = jnp.full((b,), tp, jnp.int32)
+
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        text, text_lens, proms, jnp.full((b,), tp, jnp.int32),
+        jnp.zeros((b, 8), jnp.int32), jnp.full((b,), 8, jnp.int32),
+        deterministic=True,
+    )
+
+    gen = jax.jit(
+        lambda v, r: ar_generate(
+            model, v, r, text, text_lens, proms, prom_lens, max_steps=steps
+        )
+    )
+    out = gen(variables, jax.random.key(2))
+    out["codes"].block_until_ready()
+    t0 = time.perf_counter()
+    n = 3
+    for i in range(n):
+        out = gen(variables, jax.random.key(3 + i))
+    out["codes"].block_until_ready()
+    t_cached = (time.perf_counter() - t0) / n
+
+    # reference strategy: full forward over the whole sequence per token.
+    # One forward at final length * steps lower-bounds its cost.
+    s_total = tx + 1 + tp + 1 + steps
+
+    @jax.jit
+    def full_forward(v, resps):
+        return model.apply(
+            v, text, text_lens, proms, prom_lens, resps,
+            jnp.full((b,), steps, jnp.int32), deterministic=True,
+        )["logits"]
+
+    resps = jnp.zeros((b, steps), jnp.int32)
+    full_forward(variables, resps).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(n):
+        r = full_forward(variables, resps)
+    r.block_until_ready()
+    t_one_full = (time.perf_counter() - t0) / n
+    t_reference_lb = t_one_full * steps  # lower bound (it re-runs every step)
+
+    tok_s = b * steps / t_cached
+    print(f"KV-cached decode: {t_cached * 1e3:.1f} ms for {steps} steps "
+          f"(B={b}, S={s_total}) = {tok_s:.0f} tok/s")
+    print(f"full-reforward lower bound: {t_reference_lb * 1e3:.1f} ms "
+          f"({t_reference_lb / t_cached:.0f}x slower)")
+
+
+if __name__ == "__main__":
+    main()

@@ -26,6 +26,13 @@ class MatchaTTS_MAS(MatchaTTS):
 
     def setup(self):
         super().setup()
+        if self.duration_predictor_type == "stochastic":
+            from jatts_tpu.modules.flows import StochasticDurationPredictor
+
+            self.sdp = StochasticDurationPredictor(
+                channels=self.adim,
+                kernel_size=self.duration_predictor_kernel_size,
+            )
         self.alignment_module = AlignmentModule(
             self.adim, self.odim, dtype=self.dtype, name="alignment_module"
         )
@@ -46,7 +53,15 @@ class MatchaTTS_MAS(MatchaTTS):
         log_p_attn = self.alignment_module(hs, ys, d_masks)
         ds, bin_loss = viterbi_decode(log_p_attn, ilens, olens)
 
-        d_outs = self.duration_predictor(hs, d_masks, deterministic=deterministic)
+        dur_nll = None
+        if self.duration_predictor_type == "stochastic":
+            dur_nll = self.sdp(
+                hs, d_masks[..., None].astype(hs.dtype), w=ds[..., None],
+                deterministic=deterministic,
+            ) / jnp.maximum(jnp.sum(d_masks), 1.0)
+            d_outs = jnp.zeros_like(ds)
+        else:
+            d_outs = self.duration_predictor(hs, d_masks, deterministic=deterministic)
 
         t_feats = ys.shape[1]
         h_masks_frames = sequence_mask(olens, t_feats, jnp.float32)
@@ -61,6 +76,7 @@ class MatchaTTS_MAS(MatchaTTS):
         )
         return {
             "d_outs": d_outs,
+            "dur_nll": dur_nll,
             "ys": ys,
             "hs": hs,
             "olens_in": olens_in,
@@ -85,8 +101,14 @@ class MatchaTTS_MAS(MatchaTTS):
         """reference matchatts_mas.py:552-698 (predicted durations +
         Gaussian upsampling)."""
         hs, d_masks = self.encode(xs, ilens, spembs, sids, deterministic)
-        d_log = self.duration_predictor(hs, d_masks, deterministic=deterministic)
-        d_outs = predicted_durations_to_int(d_log, alpha) * d_masks.astype(jnp.int32)
+        if self.duration_predictor_type == "stochastic":
+            d_outs = self.sdp(
+                hs, d_masks[..., None].astype(hs.dtype), inverse=True,
+                noise_scale=self.stochastic_duration_predictor_noise_scale,
+            ).astype(jnp.int32) * d_masks.astype(jnp.int32)
+        else:
+            d_log = self.duration_predictor(hs, d_masks, deterministic=deterministic)
+            d_outs = predicted_durations_to_int(d_log, alpha) * d_masks.astype(jnp.int32)
         olens = jnp.minimum(jnp.maximum(jnp.sum(d_outs, axis=-1), 1), max_t_feats)
         olens = olens - olens % 2
         h_masks = sequence_mask(olens, max_t_feats, jnp.float32)

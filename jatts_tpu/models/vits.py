@@ -126,13 +126,22 @@ class VITS(nn.Module):
             dtype=self.dtype,
             name="flow",
         )
-        self.duration_predictor = DurationPredictor(
-            n_layers=self.duration_predictor_layers,
-            n_chans=self.duration_predictor_chans,
-            kernel_size=self.duration_predictor_kernel_size,
-            dropout_rate=self.duration_predictor_dropout_rate,
-            dtype=self.dtype,
-        )
+        if self.duration_predictor_type == "stochastic":
+            from jatts_tpu.modules.flows import StochasticDurationPredictor
+
+            self.duration_predictor = StochasticDurationPredictor(
+                channels=self.adim,
+                kernel_size=self.duration_predictor_kernel_size,
+                dropout_rate=self.duration_predictor_dropout_rate,
+            )
+        else:
+            self.duration_predictor = DurationPredictor(
+                n_layers=self.duration_predictor_layers,
+                n_chans=self.duration_predictor_chans,
+                kernel_size=self.duration_predictor_kernel_size,
+                dropout_rate=self.duration_predictor_dropout_rate,
+                dtype=self.dtype,
+            )
         self.alignment_module = AlignmentModule(
             self.adim, self.odim, dtype=self.dtype, name="alignment_module"
         )
@@ -194,7 +203,17 @@ class VITS(nn.Module):
         d_masks = sequence_mask(ilens, t_text)
         log_p_attn = self.alignment_module(hs, ys, d_masks)
         ds, bin_loss = viterbi_decode(log_p_attn, ilens, olens)
-        d_outs = self.duration_predictor(hs, d_masks, deterministic=deterministic)
+        dur_nll = None
+        if self.duration_predictor_type == "stochastic":
+            # flow NLL of the MAS durations (reference vits.py:503-509)
+            dur_nll = self.duration_predictor(
+                hs, d_masks[..., None].astype(hs.dtype), w=ds[..., None],
+                deterministic=deterministic,
+            )
+            dur_nll = dur_nll / jnp.maximum(jnp.sum(d_masks), 1.0)
+            d_outs = jnp.zeros_like(ds)
+        else:
+            d_outs = self.duration_predictor(hs, d_masks, deterministic=deterministic)
 
         frame_mask = sequence_mask(olens, t_feats, jnp.float32)
         m_p = gaussian_upsampling(m_p, ds, frame_mask, d_masks)
@@ -206,6 +225,7 @@ class VITS(nn.Module):
 
         return {
             "outs": outs,
+            "dur_nll": dur_nll,
             "d_outs": d_outs,
             "ys": ys,
             "olens_in": olens,
@@ -241,8 +261,14 @@ class VITS(nn.Module):
         g = spembs[:, None, :] if spembs is not None else None
 
         d_masks = sequence_mask(ilens, t_text)
-        d_log = self.duration_predictor(hs, d_masks, deterministic=deterministic)
-        d_outs = predicted_durations_to_int(d_log, alpha) * d_masks.astype(jnp.int32)
+        if self.duration_predictor_type == "stochastic":
+            d_outs = self.duration_predictor(
+                hs, d_masks[..., None].astype(hs.dtype), inverse=True,
+                noise_scale=self.stochastic_duration_predictor_noise_scale,
+            ).astype(jnp.int32) * d_masks.astype(jnp.int32)
+        else:
+            d_log = self.duration_predictor(hs, d_masks, deterministic=deterministic)
+            d_outs = predicted_durations_to_int(d_log, alpha) * d_masks.astype(jnp.int32)
         olens = jnp.minimum(jnp.maximum(jnp.sum(d_outs, axis=-1), 1), max_t_feats)
         frame_mask = sequence_mask(olens, max_t_feats, jnp.float32)
 

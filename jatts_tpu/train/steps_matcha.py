@@ -49,7 +49,12 @@ def matchatts_loss(
         loss = loss + prior
         stats["train/encoder_prior_loss"] = prior
 
-    if "DurationPredictorLoss" in criterions:
+    if out.get("dur_nll") is not None:
+        gate = (step > dp_start).astype(jnp.float32)
+        dur = jnp.mean(out["dur_nll"])
+        loss = loss + gate * dur
+        stats["train/duration_loss"] = gate * dur
+    elif "DurationPredictorLoss" in criterions:
         d_target = out.get("ds", batch.get("ds"))
         dur = criterions["DurationPredictorLoss"](out["d_outs"], d_target, batch["ilens"])
         gate = (step > dp_start).astype(jnp.float32)

@@ -41,7 +41,13 @@ def vits_loss(
     loss = lambda_mel * mel_loss + kl_loss
     stats = {"train/mel_loss": mel_loss, "train/kl_loss": kl_loss}
 
-    if "DurationPredictorLoss" in criterions:
+    if out.get("dur_nll") is not None:
+        # stochastic duration predictor: flow NLL (reference vits.py:503-509)
+        gate = (step > dp_start).astype(jnp.float32)
+        dur = jnp.mean(out["dur_nll"])
+        loss = loss + gate * dur
+        stats["train/duration_loss"] = gate * dur
+    elif "DurationPredictorLoss" in criterions:
         dur = criterions["DurationPredictorLoss"](out["d_outs"], out["ds"], batch["ilens"])
         gate = (step > dp_start).astype(jnp.float32)
         loss = loss + gate * dur

@@ -88,3 +88,20 @@ def test_vits_flow_invertibility():
     z_fwd = fwd(variables, z)
     z_back = inv(variables, z_fwd)
     np.testing.assert_allclose(np.asarray(z_back), np.asarray(z), rtol=1e-4, atol=1e-4)
+
+
+def test_vits_stochastic_duration_predictor():
+    rng = np.random.default_rng(3)
+    b = _batch(rng)
+    model = VITS(**{**TINY, "duration_predictor_type": "stochastic"})
+    variables = model.init(RNGS, **b, deterministic=False)
+    out, _ = model.apply(
+        variables, **b, deterministic=False, rngs=RNGS, mutable=["batch_stats"]
+    )
+    assert out["dur_nll"] is not None
+    assert np.isfinite(np.asarray(out["dur_nll"])).all()
+    inf = model.apply(
+        variables, b["xs"], b["ilens"], 48, method=VITS.inference,
+        rngs={"noise": jax.random.key(9)},
+    )
+    assert inf["feat_gen"].shape == (2, 48, 8)
