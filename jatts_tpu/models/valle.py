@@ -110,6 +110,9 @@ class VALLEBase(nn.Module):
     causal: bool = True
     use_stop_token: bool = True
     norm_type: str = "ln"
+    # activation checkpointing over blocks (reference wraps attention in
+    # torch.utils.checkpoint, valle/modules.py:212,233-237)
+    use_remat: bool = False
 
     @property
     def stop_token(self) -> int:
@@ -173,7 +176,12 @@ class VALLEBase(nn.Module):
         x = self.sin_emb(x)
         m = sequence_mask(total, x.shape[1], x.dtype)[..., None]
         for block in self.blocks:
-            x = block(x, m, quant_levels, deterministic=deterministic)
+            if self.use_remat:
+                x = nn.remat(type(block).__call__, static_argnums=(4,))(
+                    block, x, m, quant_levels, deterministic
+                )
+            else:
+                x = block(x, m, quant_levels, deterministic=deterministic)
         return self.classifier(x) * m, total
 
 

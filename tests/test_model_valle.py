@@ -74,3 +74,18 @@ def test_valle_nar_train_and_generate():
     assert codes.shape == (2, 10, 8)
     np.testing.assert_array_equal(codes[:, :, 0], np.asarray(level0))
     assert (codes >= 0).all() and (codes < 32).all()
+
+
+def test_valle_ar_remat_grad():
+    rng = np.random.default_rng(5)
+    inp = _inputs(rng)
+    model = VALLEAR(**TINY, use_remat=True)
+    variables = model.init(RNGS, **inp, deterministic=False)
+
+    def loss(p):
+        return model.apply(
+            {"params": p}, **inp, deterministic=False, rngs=RNGS
+        )["loss"]
+
+    g = jax.grad(loss)(variables["params"])
+    assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree_util.tree_leaves(g))
