@@ -63,6 +63,32 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     return out
 
 
+def shard_params_tp(params, mesh: Mesh, min_size: int = 2**16):
+    """Tensor-parallel parameter sharding over the 'model' axis.
+
+    Large 2-D kernels get their biggest divisible dimension sharded over
+    'model' (Megatron-style; XLA/GSPMD inserts the all-gathers /
+    reduce-scatters), everything else is replicated. This is how the larger
+    LM-style models (VALL-E, E2-TTS) scale past one chip's HBM — the
+    reference has no TP at all (SURVEY.md §2.9).
+    """
+    n_model = mesh.shape["model"]
+
+    def spec_for(x) -> P:
+        if n_model == 1 or x.ndim < 2 or x.size < min_size:
+            return P()
+        # prefer sharding the output dim, else the input dim
+        if x.shape[-1] % n_model == 0:
+            return P(*([None] * (x.ndim - 1)), "model")
+        if x.shape[-2] % n_model == 0:
+            return P(*([None] * (x.ndim - 2)), "model", None)
+        return P()
+
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, spec_for(x))), params
+    )
+
+
 def pad_batch_to_devices(batch: Dict[str, Any], n: int) -> Dict[str, Any]:
     """Pad the batch axis up to a multiple of the data-axis size by repeating
     the last element (padded rows contribute zero weight via masks of length
