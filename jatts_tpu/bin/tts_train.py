@@ -86,6 +86,7 @@ def main():
         hop_size=config.get("hop_size", 300),
         sampling_rate=config.get("sampling_rate", 24000),
         allow_cache=config.get("allow_cache", False),
+        prompt_strategy=config.get("prompt_strategy"),
     )
     train_set = TTSDataset(args.train_csv, **ds_kwargs)
     dev_set = TTSDataset(args.dev_csv, **ds_kwargs)

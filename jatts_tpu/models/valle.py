@@ -149,8 +149,11 @@ class VALLEBase(nn.Module):
         """Sum embeddings over the first ``n_active[b]`` RVQ levels
         (reference MultiEmbedding, valle/modules.py:249-297).
 
-        codes: [B, T, L]; n_active: [B] number of levels to include."""
-        l = codes.shape[-1]
+        codes: [B, T, L]; n_active: [B] number of levels to include
+        (n_active never exceeds the embedding's level count — extra input
+        levels, e.g. the 8th EnCodec level entering a 7-level NAR embed,
+        are dropped like the reference's prev_list slicing)."""
+        l = min(codes.shape[-1], weight.shape[0])
         levels = []
         for li in range(l):
             levels.append(jnp.take(weight[li], codes[:, :, li], axis=0))
