@@ -33,6 +33,11 @@ def main():
     parser.add_argument("--outdir", required=True)
     parser.add_argument("--batch-size", type=int, default=8)
     parser.add_argument("--max-frames", type=int, default=2048)
+    parser.add_argument(
+        "--save-anasyn", action="store_true",
+        help="also vocode ground-truth mels (analysis-synthesis debug wavs, "
+        "reference tts_decode.py:257-274)",
+    )
     parser.add_argument("--verbose", type=int, default=1)
     args = parser.parse_args()
 
@@ -122,6 +127,13 @@ def main():
                 write_audio(
                     os.path.join(args.outdir, "wav", f"{it['utt_id']}.wav"), wav, sr
                 )
+                if args.save_anasyn and "mel" in it:
+                    wav_gt = vocoder.decode(np.asarray(it["mel"]), mel_mean, mel_scale)
+                    os.makedirs(os.path.join(args.outdir, "wav_anasyn"), exist_ok=True)
+                    write_audio(
+                        os.path.join(args.outdir, "wav_anasyn", f"{it['utt_id']}.wav"),
+                        wav_gt, sr,
+                    )
             np.save(os.path.join(args.outdir, "wav", f"{it['utt_id']}_mel.npy"), mel)
     if total_time > 0:
         logging.info(
