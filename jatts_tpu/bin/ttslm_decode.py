@@ -10,6 +10,21 @@ The codec is pluggable: EnCodec via transformers when local weights exist
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+# allow direct execution (python jatts_tpu/bin/<tool>.py) from anywhere
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))))
+
+# persistent XLA compile cache: CLI stages are separate processes; without
+# this every stage repays full compilation
+import jax as _jax
+
+_jax.config.update(
+    "jax_compilation_cache_dir", _os.path.expanduser("~/.cache/jatts_tpu/xla")
+)
+_jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import argparse
 import logging
 import os

@@ -15,6 +15,22 @@ import numpy as np
 from jatts_tpu.ops.dsp import adjust_num_frames, energy as energy_op, logmelfilterbank
 from jatts_tpu.ops.pitch import continuous_f0, estimate_f0
 
+# Utterances have arbitrary lengths; jitted XLA ops have static shapes. Pad
+# audio up to a bucket boundary (multiples of hop*BUCKET_FRAMES) so the whole
+# corpus compiles a handful of programs instead of one per utterance, then
+# crop back to the true frame count. Only the last ~n_fft/(2*hop) frames can
+# differ marginally from unpadded extraction (zero- vs reflect-padding at the
+# tail).
+BUCKET_FRAMES = 64
+
+
+def _pad_to_bucket(audio: np.ndarray, hop: int) -> tuple:
+    n_frames = 1 + len(audio) // hop
+    bucket = -(-n_frames // BUCKET_FRAMES) * BUCKET_FRAMES
+    target_len = (bucket - 1) * hop + hop - 1  # ensures 1 + len//hop == bucket
+    target_len = max(target_len, len(audio))
+    return np.pad(audio, (0, target_len - len(audio))), n_frames
+
 
 class LogMelExtractor:
     """reference mel.py:11-72."""
@@ -40,7 +56,9 @@ class LogMelExtractor:
     def __call__(self, audio: np.ndarray) -> np.ndarray:
         import jax.numpy as jnp
 
-        return np.asarray(logmelfilterbank(jnp.asarray(audio), **self.kw))
+        padded, n_frames = _pad_to_bucket(np.asarray(audio), self.kw["hop_size"])
+        mel = np.asarray(logmelfilterbank(jnp.asarray(padded), **self.kw))
+        return mel[:n_frames]
 
 
 class Dio:
@@ -78,12 +96,13 @@ class Dio:
     ) -> np.ndarray:
         import jax.numpy as jnp
 
+        padded, n_frames = _pad_to_bucket(np.asarray(audio), self.hop_length)
         f0 = np.asarray(
             estimate_f0(
-                jnp.asarray(audio), self.fs, self.hop_length,
+                jnp.asarray(padded), self.fs, self.hop_length,
                 frame_length=self.n_fft, f0min=self.f0min, f0max=self.f0max,
             )
-        )
+        )[:n_frames]
         if (f0 == 0).all():
             logging.warning("All frames seem to be unvoiced.")
         if self.use_continuous_f0:
@@ -138,9 +157,10 @@ class Energy:
     ) -> np.ndarray:
         import jax.numpy as jnp
 
+        padded, n_frames = _pad_to_bucket(np.asarray(audio), self.hop_length)
         e = np.asarray(
-            energy_op(jnp.asarray(audio), self.n_fft, self.hop_length, self.win_length)
-        )
+            energy_op(jnp.asarray(padded), self.n_fft, self.hop_length, self.win_length)
+        )[:n_frames]
         if feat_length is not None:
             e = adjust_num_frames(e, feat_length)
         if self.use_token_averaged_energy and durations is not None:
