@@ -50,7 +50,9 @@ def main():
     parser.add_argument("--max-frames", type=int, default=3000)
     parser.add_argument("--verbose", type=int, default=1)
     args = parser.parse_args()
-    logging.basicConfig(level=logging.INFO if args.verbose > 0 else logging.WARNING)
+    logging.basicConfig(
+        force=True,
+        level=logging.INFO if args.verbose > 0 else logging.WARNING)
 
     import jax
     import jax.numpy as jnp

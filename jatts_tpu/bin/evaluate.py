@@ -121,7 +121,9 @@ def main():
     parser.add_argument("--out", default=None, help="results csv")
     parser.add_argument("--verbose", type=int, default=1)
     args = parser.parse_args()
-    logging.basicConfig(level=logging.INFO if args.verbose > 0 else logging.WARNING)
+    logging.basicConfig(
+        force=True,
+        level=logging.INFO if args.verbose > 0 else logging.WARNING)
 
     with open(args.config) as f:
         config = yaml.load(f, Loader=yaml.SafeLoader)

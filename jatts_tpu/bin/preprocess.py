@@ -46,6 +46,7 @@ def main():
     args = parser.parse_args()
 
     logging.basicConfig(
+        force=True,
         level=logging.INFO if args.verbose > 0 else logging.WARNING,
         format="%(asctime)s (%(module)s:%(lineno)d) %(levelname)s: %(message)s",
     )

@@ -57,6 +57,7 @@ def main():
     args = parser.parse_args()
 
     logging.basicConfig(
+        force=True,
         level=logging.INFO if args.verbose > 0 else logging.WARNING,
         format="%(asctime)s (%(module)s:%(lineno)d) %(levelname)s: %(message)s",
     )
@@ -120,6 +121,7 @@ def main():
 
     items = [dataset[i] for i in range(len(dataset))]
     total_frames, total_time = 0, 0.0
+    seen_shapes = set()  # first batch per shape pays compilation; exclude
     for i in range(0, len(items), args.batch_size):
         chunk = items[i : i + args.batch_size]
         t_text = round_up(max(len(it["x"]) for it in chunk), 16)
@@ -133,8 +135,11 @@ def main():
         feats = np.asarray(out["feat_gen"], np.float32)
         olens = np.asarray(out["olens"])
         elapsed = time.time() - start
-        total_frames += int(olens.sum())
-        total_time += elapsed
+        shape_key = (xs.shape[0], xs.shape[1])
+        if shape_key in seen_shapes:  # steady-state timing only
+            total_frames += int(olens.sum())
+            total_time += elapsed
+        seen_shapes.add(shape_key)
         for j, it in enumerate(chunk):
             mel = feats[j, : olens[j]]
             if vocoder is not None:

@@ -80,7 +80,9 @@ def main():
     parser.add_argument("--max-steps", type=int, default=1000)
     parser.add_argument("--verbose", type=int, default=1)
     args = parser.parse_args()
-    logging.basicConfig(level=logging.INFO if args.verbose > 0 else logging.WARNING)
+    logging.basicConfig(
+        force=True,
+        level=logging.INFO if args.verbose > 0 else logging.WARNING)
 
     import jax
     import jax.numpy as jnp

@@ -125,9 +125,17 @@ class Trainer:
             kwargs = self.kwargs_fn(batch, self.model)
         else:
             kwargs = self._model_kwargs(batch)
-        return self.model.init(
-            {"params": rng, "dropout": rng, "noise": rng}, **kwargs, deterministic=False
-        )
+
+        # jit the whole init: eager init dispatches thousands of tiny ops,
+        # which is pathological on remote-dispatch backends
+        @jax.jit
+        def init_fn(rng):
+            return self.model.init(
+                {"params": rng, "dropout": rng, "noise": rng},
+                **kwargs, deterministic=False,
+            )
+
+        return init_fn(rng)
 
     @staticmethod
     def _model_kwargs(batch: Dict[str, Any]) -> Dict[str, Any]:
