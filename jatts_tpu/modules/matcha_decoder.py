@@ -211,8 +211,12 @@ class MatchaDecoder(nn.Module):
                     name=f"up_tf_{i}_{j}",
                 )(h, m[..., 0] > 0, deterministic=deterministic)
             if not is_last:
+                # torch ConvTranspose1d(4, stride=2, padding=1) == flax
+                # explicit padding (k-1-p, k-1-p+op) = (2, 2) with
+                # transpose_kernel=True (see vocoder/hifigan.py)
                 h = nn.ConvTranspose(
-                    out_ch, (4,), strides=(2,), padding="SAME", dtype=self.dtype,
+                    out_ch, (4,), strides=(2,), padding=[(2, 2)],
+                    transpose_kernel=True, dtype=self.dtype,
                     name=f"upsample_{i}",
                 )(h * m)
             else:

@@ -182,6 +182,135 @@ def convert_fastspeech2(
     return variables
 
 
+def _gn(sd, name):
+    return {"scale": sd[f"{name}.weight"], "bias": sd[f"{name}.bias"]}
+
+
+def _matcha_block1d(sd, prefix):
+    """Block1D: conv + GroupNorm (reference matchatts/decoder.py:66-78)."""
+    return {
+        "conv": t_conv1d(sd, f"{prefix}.block.0"),
+        "norm": _gn(sd, f"{prefix}.block.1"),
+    }
+
+
+def _matcha_resnet(sd, prefix):
+    """ResnetBlock1D (reference matchatts/decoder.py:80-97)."""
+    return {
+        "block1": _matcha_block1d(sd, f"{prefix}.block1"),
+        "mlp": t_linear(sd, f"{prefix}.mlp.1"),
+        "block2": _matcha_block1d(sd, f"{prefix}.block2"),
+        "res_conv": t_conv1d(sd, f"{prefix}.res_conv"),
+    }
+
+
+def _matcha_tf_block(sd, prefix):
+    """BasicTransformerBlock w/ SnakeBeta FF
+    (reference matchatts/transformer.py:28-364)."""
+    return {
+        "norm1": t_norm(sd, f"{prefix}.norm1"),
+        "to_q": {"kernel": sd[f"{prefix}.attn1.to_q.weight"].T},
+        "to_k": {"kernel": sd[f"{prefix}.attn1.to_k.weight"].T},
+        "to_v": {"kernel": sd[f"{prefix}.attn1.to_v.weight"].T},
+        "to_out": t_linear(sd, f"{prefix}.attn1.to_out.0"),
+        "norm3": t_norm(sd, f"{prefix}.norm3"),
+        "ff": {
+            "proj": t_linear(sd, f"{prefix}.ff.net.0.proj"),
+            "alpha": sd[f"{prefix}.ff.net.0.alpha"],
+            "beta": sd[f"{prefix}.ff.net.0.beta"],
+            "out": t_linear(sd, f"{prefix}.ff.net.2"),
+        },
+    }
+
+
+def _convT1d(sd, name):
+    """torch ConvTranspose1d [in, out, k] -> flax transpose_kernel=True
+    kernel [k, out, in]."""
+    p = {"kernel": np.transpose(sd[f"{name}.weight"], (2, 1, 0))}
+    if f"{name}.bias" in sd:
+        p["bias"] = sd[f"{name}.bias"]
+    return p
+
+
+def convert_matcha_estimator(
+    sd: Dict[str, np.ndarray], prefix: str, n_channels: int, n_blocks: int,
+    num_mid_blocks: int,
+) -> Dict[str, Any]:
+    """reference matchatts/decoder.py Decoder -> our MatchaDecoder params.
+
+    ``prefix`` is the torch module path of the estimator (e.g.
+    'decoder.estimator'); ``n_channels`` = len(decoder_channels)."""
+    p: Dict[str, Any] = {}
+    p["time_mlp"] = {
+        "linear_1": t_linear(sd, f"{prefix}.time_mlp.linear_1"),
+        "linear_2": t_linear(sd, f"{prefix}.time_mlp.linear_2"),
+    }
+    for i in range(n_channels):
+        p[f"down_resnet_{i}"] = _matcha_resnet(sd, f"{prefix}.down_blocks.{i}.0")
+        for j in range(n_blocks):
+            p[f"down_tf_{i}_{j}"] = _matcha_tf_block(sd, f"{prefix}.down_blocks.{i}.1.{j}")
+        ds_name = f"{prefix}.down_blocks.{i}.2"
+        if f"{ds_name}.conv.weight" in sd:  # Downsample1D wraps its conv
+            p[f"downsample_{i}"] = t_conv1d(sd, f"{ds_name}.conv")
+        else:
+            p[f"downsample_{i}"] = t_conv1d(sd, ds_name)
+    for i in range(num_mid_blocks):
+        p[f"mid_resnet_{i}"] = _matcha_resnet(sd, f"{prefix}.mid_blocks.{i}.0")
+        for j in range(n_blocks):
+            p[f"mid_tf_{i}_{j}"] = _matcha_tf_block(sd, f"{prefix}.mid_blocks.{i}.1.{j}")
+    for i in range(n_channels):
+        p[f"up_resnet_{i}"] = _matcha_resnet(sd, f"{prefix}.up_blocks.{i}.0")
+        for j in range(n_blocks):
+            p[f"up_tf_{i}_{j}"] = _matcha_tf_block(sd, f"{prefix}.up_blocks.{i}.1.{j}")
+        us_name = f"{prefix}.up_blocks.{i}.2"
+        if f"{us_name}.conv.weight" in sd:  # Upsample1D (ConvTranspose)
+            p[f"upsample_{i}"] = _convT1d(sd, f"{us_name}.conv")
+        else:
+            p[f"upsample_{i}"] = t_conv1d(sd, us_name)
+    p["final_block"] = _matcha_block1d(sd, f"{prefix}.final_block")
+    p["final_proj"] = t_conv1d(sd, f"{prefix}.final_proj")
+    return p
+
+
+def convert_matchatts(sd: Dict[str, np.ndarray], model) -> Dict[str, Any]:
+    """reference jatts/models/matchatts.py state_dict -> flax variables
+    (also covers MatchaTTS_MAS; adds alignment_module when present)."""
+    params: Dict[str, Any] = {}
+    batch_stats: Dict[str, Any] = {}
+    enc_p, enc_bs = convert_conformer_encoder(
+        sd, "encoder", model.elayers, has_embed=True,
+        macaron=model.use_macaron_style_in_conformer,
+        use_cnn=model.use_cnn_in_conformer,
+    )
+    params["encoder"] = enc_p
+    if enc_bs:
+        batch_stats["encoder"] = enc_bs
+    params["duration_predictor"] = _predictor_stack(
+        sd, "duration_predictor", model.duration_predictor_layers
+    )
+    params["encoder_proj"] = t_linear(sd, "encoder_proj")
+    params["decoder"] = {
+        "estimator": convert_matcha_estimator(
+            sd, "decoder.estimator", len(model.decoder_channels),
+            model.decoder_n_blocks, model.decoder_num_mid_blocks,
+        )
+    }
+    if "alignment_module.t_conv1.weight" in sd:
+        params["alignment_module"] = {
+            "t_conv1": t_conv1d(sd, "alignment_module.t_conv1"),
+            "t_conv2": t_conv1d(sd, "alignment_module.t_conv2"),
+            "f_conv1": t_conv1d(sd, "alignment_module.f_conv1"),
+            "f_conv2": t_conv1d(sd, "alignment_module.f_conv2"),
+            "f_conv3": t_conv1d(sd, "alignment_module.f_conv3"),
+        }
+    if getattr(model, "spk_embed_dim", None):
+        params["projection"] = t_linear(sd, "projection")
+    variables = {"params": params}
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
+    return variables
+
+
 def load_reference_checkpoint(path: str) -> Dict[str, np.ndarray]:
     """Load a reference .pkl training checkpoint's model state_dict."""
     import torch
