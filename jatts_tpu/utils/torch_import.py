@@ -311,6 +311,105 @@ def convert_matchatts(sd: Dict[str, np.ndarray], model) -> Dict[str, Any]:
     return variables
 
 
+def _wn_conv(sd, name):
+    """torch weight_norm Conv1d (weight_g [out,1,1] + weight_v [out,in,k])
+    -> our WNConv params (v [k,in,out], g [out], b)."""
+    p = {
+        "v": np.transpose(sd[f"{name}.weight_v"], (2, 1, 0)),
+        "g": sd[f"{name}.weight_g"].reshape(-1),
+    }
+    if f"{name}.bias" in sd:
+        p["b"] = sd[f"{name}.bias"]
+    return p
+
+
+def convert_wavenet(sd, prefix, layers, has_global=False):
+    """reference jatts/modules/wavenet/wavenet.py (weight-normed convs)."""
+    p: Dict[str, Any] = {}
+    for i in range(layers):
+        lp = f"{prefix}.conv_layers.{i}"
+        layer = {
+            "conv": _wn_conv(sd, f"{lp}.conv"),
+            "conv1x1_out": _wn_conv(sd, f"{lp}.conv1x1_out"),
+        }
+        if has_global and f"{lp}.conv1x1_glo.weight_v" in sd:
+            layer["conv1x1_glo"] = _wn_conv(sd, f"{lp}.conv1x1_glo")
+        p[f"conv_layers_{i}"] = layer
+    return p
+
+
+def convert_posterior_encoder(sd, prefix, layers, has_global=False):
+    """reference vits/posterior_encoder.py:18-115."""
+    return {
+        "input_conv": t_conv1d(sd, f"{prefix}.input_conv"),
+        "encoder": convert_wavenet(sd, f"{prefix}.encoder", layers, has_global),
+        "proj": t_conv1d(sd, f"{prefix}.proj"),
+    }
+
+
+def convert_flow(sd, prefix, flows, layers, has_global=False):
+    """reference vits/residual_coupling.py:18-227 — couplings at even torch
+    indices (odd are FlipFlows with no params)."""
+    p: Dict[str, Any] = {}
+    for i in range(flows):
+        fp = f"{prefix}.flows.{2 * i}"
+        p[f"flows_{2 * i}"] = {
+            "input_conv": t_conv1d(sd, f"{fp}.input_conv"),
+            "encoder": convert_wavenet(sd, f"{fp}.encoder", layers, has_global),
+            "proj": t_conv1d(sd, f"{fp}.proj"),
+        }
+    return p
+
+
+def convert_vits(sd: Dict[str, np.ndarray], model) -> Dict[str, Any]:
+    """reference jatts/models/vits.py state_dict -> flax variables."""
+    params: Dict[str, Any] = {}
+    batch_stats: Dict[str, Any] = {}
+    has_global = bool(getattr(model, "spk_embed_dim", None))
+
+    te_p, te_bs = convert_conformer_encoder(
+        sd, "text_encoder.encoder", model.text_encoder_blocks, has_embed=False,
+        macaron=model.use_macaron_style_in_text_encoder,
+        use_cnn=model.use_conformer_conv_in_text_encoder,
+    )
+    params["text_encoder"] = {
+        "emb": t_embed(sd, "text_encoder.emb"),
+        "encoder": te_p,
+        "proj": t_conv1d(sd, "text_encoder.proj"),
+    }
+    if te_bs:
+        batch_stats["text_encoder"] = {"encoder": te_bs}
+
+    params["posterior_encoder"] = convert_posterior_encoder(
+        sd, "posterior_encoder", model.posterior_encoder_layers, has_global
+    )
+    params["flow"] = convert_flow(
+        sd, "flow", model.flow_flows, model.flow_layers, has_global
+    )
+    params["duration_predictor"] = _predictor_stack(
+        sd, "duration_predictor", model.duration_predictor_layers
+    )
+    params["alignment_module"] = {
+        k: t_conv1d(sd, f"alignment_module.{k}")
+        for k in ("t_conv1", "t_conv2", "f_conv1", "f_conv2", "f_conv3")
+    }
+    dec_p, dec_bs = convert_conformer_encoder(
+        sd, "decoder", model.dlayers, has_embed=False,
+        macaron=model.use_macaron_style_in_conformer,
+        use_cnn=model.use_cnn_in_conformer,
+    )
+    params["decoder"] = dec_p
+    if dec_bs:
+        batch_stats["decoder"] = dec_bs
+    params["feat_out"] = t_linear(sd, "feat_out")
+    if has_global:
+        params["projection"] = t_linear(sd, "projection")
+    variables = {"params": params}
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
+    return variables
+
+
 def load_reference_checkpoint(path: str) -> Dict[str, np.ndarray]:
     """Load a reference .pkl training checkpoint's model state_dict."""
     import torch

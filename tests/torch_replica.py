@@ -432,3 +432,72 @@ class TMatchaDecoder(tnn.Module):
             x = up(x * m)
         x = self.final_block(x, m)
         return self.final_proj(x * m) * mask
+
+
+class TWNResBlock(tnn.Module):
+    """reference wavenet/residual_block.py:42-167 (weight-normed convs,
+    gated activation, fused res+skip 1x1)."""
+
+    def __init__(self, k, res_ch, gate_ch, skip_ch, dil, glob_ch=None):
+        super().__init__()
+        self.res_ch, self.skip_ch = res_ch, skip_ch
+        pad = (k - 1) // 2 * dil
+        self.conv = tnn.utils.weight_norm(
+            tnn.Conv1d(res_ch, gate_ch, k, padding=pad, dilation=dil)
+        )
+        self.conv1x1_glo = (
+            tnn.utils.weight_norm(tnn.Conv1d(glob_ch, gate_ch, 1, bias=False))
+            if glob_ch else None
+        )
+        self.conv1x1_out = tnn.utils.weight_norm(
+            tnn.Conv1d(gate_ch // 2, res_ch + skip_ch, 1)
+        )
+
+    def forward(self, x, x_mask=None, g=None):
+        residual = x
+        h = self.conv(x)
+        xa, xb = h.split(h.size(1) // 2, dim=1)
+        if g is not None:
+            gh = self.conv1x1_glo(g)
+            ga, gb = gh.split(gh.size(1) // 2, dim=1)
+            xa, xb = xa + ga, xb + gb
+        h = torch.tanh(xa) * torch.sigmoid(xb)
+        h = self.conv1x1_out(h)
+        if x_mask is not None:
+            h = h * x_mask
+        xr, s = h.split([self.res_ch, self.skip_ch], dim=1)
+        return xr + residual, s
+
+
+class TWaveNet(tnn.Module):
+    """reference wavenet/wavenet.py:19-194 (no first/last conv,
+    scale_skip_connect=True)."""
+
+    def __init__(self, k, layers, hidden, glob_ch=None):
+        super().__init__()
+        self.conv_layers = tnn.ModuleList(
+            [TWNResBlock(k, hidden, hidden * 2, hidden, 1, glob_ch) for _ in range(layers)]
+        )
+
+    def forward(self, x, x_mask=None, g=None):
+        skips = 0.0
+        for f in self.conv_layers:
+            x, s = f(x, x_mask, g)
+            skips = skips + s
+        return skips * math.sqrt(1.0 / len(self.conv_layers))
+
+
+class TPosteriorEncoder(tnn.Module):
+    """reference vits/posterior_encoder.py:18-115 (m/logs deterministic part)."""
+
+    def __init__(self, in_ch, out_ch, hidden, k, layers, glob_ch=None):
+        super().__init__()
+        self.input_conv = tnn.Conv1d(in_ch, hidden, 1)
+        self.encoder = TWaveNet(k, layers, hidden, glob_ch)
+        self.proj = tnn.Conv1d(hidden, out_ch * 2, 1)
+
+    def forward(self, x, x_mask, g=None):
+        h = self.input_conv(x) * x_mask
+        h = self.encoder(h, x_mask, g)
+        stats = self.proj(h) * x_mask
+        return stats.split(stats.size(1) // 2, dim=1)
