@@ -109,9 +109,13 @@ class VALLEAttention(nn.Module):
         q = self._split(q)  # [B, 1, H, Dh]
         k = self._split(k)[:, 0]  # [B, H, Dh]
         v = self._split(v)[:, 0]
-        onehot = jnp.arange(s)[None, :] == write_pos[:, None]  # [B, S]
-        cache_k = jnp.where(onehot[..., None, None], k[:, None], cache_k)
-        cache_v = jnp.where(onehot[..., None, None], v[:, None], cache_v)
+        # per-sample in-place scatter (dynamic_update_slice) instead of a
+        # full-cache select — O(1) HBM traffic per step under scan donation
+        upd = jax.vmap(
+            lambda c, x, p: jax.lax.dynamic_update_slice(c, x[None], (p, 0, 0))
+        )
+        cache_k = upd(cache_k, k, write_pos)
+        cache_v = upd(cache_v, v, write_pos)
         scale = dh**-0.5
         e = jnp.einsum("bqhd,bjhd->bhqj", q, cache_k) * scale  # q==1
         valid = jnp.arange(s)[None, :] <= write_pos[:, None]  # causal + alloc
