@@ -8,9 +8,8 @@ expansion uses Gaussian upsampling.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence
+from typing import Dict, Optional
 
-import flax.linen as nn
 import jax.numpy as jnp
 
 from jatts_tpu.models.matchatts import MatchaTTS

@@ -4,14 +4,12 @@
 
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
 from jatts_tpu.modules.conformer import ConformerEncoder
-from jatts_tpu.modules.wavenet import WaveNet, WNConv
+from jatts_tpu.modules.wavenet import WaveNet
 from jatts_tpu.ops.masks import sequence_mask
 
 

@@ -8,8 +8,6 @@ checkpoint import is mechanical).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
 import jax.lax as lax
 import jax.numpy as jnp

@@ -11,7 +11,6 @@ from __future__ import annotations
 from typing import Any, Dict
 
 import jax
-import jax.numpy as jnp
 
 
 def _apply(model, params, batch_stats, rng, deterministic, extra_rngs=(), **kwargs):

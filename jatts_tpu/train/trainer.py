@@ -28,7 +28,6 @@ import optax
 from jatts_tpu.parallel.mesh import pad_batch_to_devices, shard_batch
 from jatts_tpu.train.schedulers import build_optimizer, build_schedule
 from jatts_tpu.utils.checkpoint import (
-    checkpoint_steps,
     find_latest_checkpoint,
     restore_checkpoint,
     save_checkpoint,

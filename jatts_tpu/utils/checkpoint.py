@@ -12,7 +12,6 @@ import os
 import re
 from typing import Any, Dict, Optional
 
-import jax
 import orbax.checkpoint as ocp
 
 

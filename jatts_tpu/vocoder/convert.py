@@ -13,7 +13,6 @@ fold weight norm analytically (w = g * v/||v||) and remap names:
 
 from __future__ import annotations
 
-import pickle
 from typing import Any, Dict
 
 import numpy as np
