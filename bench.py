@@ -7,6 +7,13 @@ Baseline: the reference publishes no speed numbers (README.md:13 — speed
 explicitly not optimized); BASELINE.json sets the target batched inference
 RTF <= 0.01 on v5e-1. vs_baseline = target_rtf / measured_rtf (>1 beats the
 target).
+
+Timing methodology: through this environment's remote-dispatch tunnel,
+``block_until_ready`` returns before device execution completes, so the
+benchmark chains N pipeline iterations ON DEVICE inside one jitted
+``lax.fori_loop`` (each iteration data-depends on the previous through a
+checksum fed back into the inputs) and uses a scalar host fetch as the
+completion barrier.
 """
 
 from __future__ import annotations
@@ -17,7 +24,20 @@ import time
 import numpy as np
 
 
+def _enable_compile_cache():
+    import os
+
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.expanduser("~/.cache/jatts_tpu/xla"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def main():
+    _enable_compile_cache()
     import jax
     import jax.numpy as jnp
 
@@ -28,6 +48,7 @@ def main():
     # adim 384, 4+4 conformer layers, 80 mels, 24 kHz, hop 300.
     sr, hop = 24000, 300
     b, t_text, t_feats = 8, 128, 1024
+    n_iter = 10
     model = FastSpeech2(idim=64, dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
     xs = jnp.asarray(rng.integers(1, 64, (b, t_text)).astype(np.int32))
@@ -50,25 +71,37 @@ def main():
     voc = HiFiGANGenerator()
     voc_vars = voc.init(jax.random.key(2), jnp.zeros((b, t_feats, 80), jnp.float32))
 
-    @jax.jit
-    def tts(variables, voc_vars, xs, ilens):
+    def tts_once(xs_in):
         out = model.apply(
-            variables, xs, ilens, t_feats, method=FastSpeech2.inference
+            variables, xs_in, ilens, t_feats, method=FastSpeech2.inference
         )
         mel = out["feat_gen"].astype(jnp.float32)
         wav = voc.apply(voc_vars, mel)[..., 0]
-        return wav, out["olens"]
+        return wav
 
-    # warmup / compile
-    wav, olens = tts(variables, voc_vars, xs, ilens)
-    wav.block_until_ready()
+    @jax.jit
+    def bench_loop(xs):
+        def body(i, acc):
+            # feed the carry back into the input so iterations are serialized
+            wav = tts_once(xs + (acc * 0.0).astype(xs.dtype))
+            return acc + wav[0, ::4096].sum()
 
-    n_iter = 10
-    start = time.perf_counter()
-    for _ in range(n_iter):
-        wav, olens = tts(variables, voc_vars, xs, ilens)
-    wav.block_until_ready()
-    elapsed = (time.perf_counter() - start) / n_iter
+        return jax.lax.fori_loop(0, n_iter, body, jnp.float32(0.0))
+
+    @jax.jit
+    def single(xs):
+        wav = tts_once(xs)
+        return wav[0, ::4096].sum(), wav
+
+    # warmup / compile; verify the measured program makes finite audio
+    chk, wav = single(xs)
+    assert np.isfinite(np.asarray(wav)).all(), "non-finite output"
+    float(bench_loop(xs))  # compile the loop
+
+    t0 = time.perf_counter()
+    total = float(bench_loop(xs))  # scalar host fetch = completion barrier
+    elapsed = (time.perf_counter() - t0) / n_iter
+    assert np.isfinite(total)
 
     audio_seconds = b * t_feats * hop / sr  # full padded capacity synthesized
     rtf = elapsed / audio_seconds
@@ -78,8 +111,9 @@ def main():
         json.dumps(
             {
                 "metric": "fastspeech2+hifigan batched inference RTF "
-                f"(B={b}, T_feats={t_feats}, mel-frames/s={frames_per_sec:.0f})",
-                "value": round(rtf, 6),
+                f"(B={b}, T_feats={t_feats}, mel-frames/s={frames_per_sec:.0f}, "
+                "device-chained timing w/ host-fetch barrier)",
+                "value": round(rtf, 8),
                 "unit": "rtf",
                 "vs_baseline": round(target / rtf, 3),
             }

@@ -34,12 +34,12 @@ def main():
     import jax
 
     mel, f0, e = run_all(a)  # compile
-    jax.block_until_ready((mel, f0, e))
+    float(mel.sum() + f0.sum() + e.sum())  # host fetch barrier
     n = 20
     t0 = time.perf_counter()
     for _ in range(n):
         mel, f0, e = run_all(a)
-    jax.block_until_ready((mel, f0, e))
+        chk = float(mel.sum() + f0.sum() + e.sum())
     dt = (time.perf_counter() - t0) / n
     xrt = seconds / dt
     print(

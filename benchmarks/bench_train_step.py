@@ -53,13 +53,15 @@ def run(dtype_name: str):
     state = trainer.state
     step_rng = jax.random.key(0)
     state, stats = trainer.train_step(state, batch, step_rng)  # compile
-    jax.block_until_ready(stats["train/loss"])
+    float(stats["train/loss"])  # host fetch = real completion barrier
     n = 10
     t0 = time.perf_counter()
     for _ in range(n):
+        # steps chain through `state`; the final scalar fetch bounds them all
         state, stats = trainer.train_step(state, batch, step_rng)
-    jax.block_until_ready(stats["train/loss"])
+    loss = float(stats["train/loss"])
     dt = (time.perf_counter() - t0) / n
+    assert np.isfinite(loss)
     frames_s = b * t_feats / dt
     print(
         f"{dtype_name}: {dt * 1e3:.1f} ms/step (B={b}, T={t_feats}) "
