@@ -92,19 +92,28 @@ def _run_config(name, model_kwargs):
         return wav, out["olens"]
 
     @jax.jit
-    def checksum(wav):  # tiny dependent reduce; host fetch = completion barrier
+    def checksum(wav):  # tiny dependent reduce
         return wav[0, ::4096].sum()
+
+    @jax.jit
+    def bump(xs, chk):  # data dependency carrier: serializes iterations
+        return xs + (chk * 0.0).astype(xs.dtype)
 
     # warmup / compile; verify the measured program makes finite audio
     wav, olens = tts(variables, voc_vars, xs, ilens)
     assert np.isfinite(np.asarray(wav)).all(), "non-finite output"
-    float(checksum(wav))
+    chk = checksum(wav)
+    float(chk)
+    xs_dep = bump(xs, chk)
+    xs_dep.block_until_ready()
 
+    # each iteration's input depends on the previous iteration's output, so
+    # the device must execute them serially; ONE final host fetch bounds all
     t0 = time.perf_counter()
-    total = 0.0
     for _ in range(n_iter):
-        wav, _ = tts(variables, voc_vars, xs, ilens)
-        total += float(checksum(wav))
+        wav, _ = tts(variables, voc_vars, bump(xs, chk), ilens)
+        chk = checksum(wav)
+    total = float(chk)
     elapsed = (time.perf_counter() - t0) / n_iter
     assert np.isfinite(total)
 
