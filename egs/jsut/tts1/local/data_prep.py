@@ -19,33 +19,15 @@ sys.path.insert(
 )
 
 from jatts_tpu.text import g2p_phonemes  # noqa: E402
+from jatts_tpu.text.julius import cropped_n_samples, lab_to_row_updates  # noqa: E402
 from jatts_tpu.utils.io import write_csv  # noqa: E402
 
 
-def lab_to_durations(lab_path, hop_s, n_phonemes):
-    """.lab (start end phone per line, seconds) -> frame durations with
-    rounding-residual redistribution (reference
-    utils/data_prep_post_julius.py:23-80). Strips silB/silE."""
-    segs = []
-    with open(lab_path) as f:
-        for line in f:
-            parts = line.split()
-            if len(parts) != 3:
-                continue
-            s, e, ph = float(parts[0]), float(parts[1]), parts[2]
-            if ph in ("silB", "silE", "sil", "sp"):
-                continue
-            segs.append((s, e, ph))
-    durations = []
-    residual = 0.0
-    for s, e, _ in segs:
-        exact = (e - s) / hop_s + residual
-        frames = round(exact)
-        residual = exact - frames
-        durations.append(max(int(frames), 1))
-    if len(durations) != n_phonemes:
-        return None
-    return durations
+def _wav_n_samples(wav_path, fs):
+    import wave
+
+    with wave.open(wav_path, "rb") as w:
+        return int(round(w.getnframes() * fs / w.getframerate()))
 
 
 def main():
@@ -53,7 +35,8 @@ def main():
     parser.add_argument("--db-root", required=True)
     parser.add_argument("--outdir", default="data")
     parser.add_argument("--labdir", default=None, help="forced-alignment .lab dir")
-    parser.add_argument("--hop-s", type=float, default=300 / 24000)
+    parser.add_argument("--hop-size", type=int, default=300)
+    parser.add_argument("--fs", type=int, default=24000)
     parser.add_argument("--n-dev", type=int, default=250)
     parser.add_argument("--n-test", type=int, default=250)
     args = parser.parse_args()
@@ -80,9 +63,21 @@ def main():
             if args.labdir:
                 lab = os.path.join(args.labdir, f"{utt}.lab")
                 if os.path.exists(lab):
-                    d = lab_to_durations(lab, args.hop_s, len(phonemes))
-                    if d is not None:
-                        row["durations"] = " ".join(map(str, d))
+                    # shared Julius pipeline: phonemes/durations/crop all come
+                    # from the alignment (reference data_prep_post_julius)
+                    import wave as _wave
+
+                    with _wave.open(wav_path, "rb") as w:
+                        n_raw = int(round(w.getnframes() * args.fs / w.getframerate()))
+                    with open(lab, encoding="utf-8") as f:
+                        first = f.read().splitlines()
+                    from jatts_tpu.text.julius import parse_lab
+
+                    _, _, ustart, uend = parse_lab(first)
+                    n_samples = cropped_n_samples(ustart, uend, args.fs, n_raw)
+                    upd = lab_to_row_updates(lab, n_samples, args.hop_size, args.fs)
+                    if upd is not None:
+                        row.update(upd)
             rows.append(row)
 
     os.makedirs(args.outdir, exist_ok=True)

@@ -14,7 +14,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from jatts_tpu.modules.cfm import CFM
-from jatts_tpu.modules.conformer import ConformerEncoder
+from jatts_tpu.modules.conformer import ConformerEncoder, resolve_rel_pos_types
 from jatts_tpu.modules.predictors import DurationPredictor
 from jatts_tpu.ops.masks import attn_mask, sequence_mask
 from jatts_tpu.ops.upsample import predicted_durations_to_int, regulate_length
@@ -32,6 +32,7 @@ class MatchaTTS(nn.Module):
     encoder_normalize_before: bool = True
     reduction_factor: int = 1
     encoder_type: str = "conformer"
+    conformer_rel_pos_type: str = "legacy"
     conformer_pos_enc_layer_type: str = "rel_pos"
     conformer_self_attn_layer_type: str = "rel_selfattn"
     conformer_activation_type: str = "swish"
@@ -61,6 +62,11 @@ class MatchaTTS(nn.Module):
     dtype: Any = jnp.float32
 
     def setup(self):
+        pos_enc_type, selfattn_type = resolve_rel_pos_types(
+            self.conformer_rel_pos_type,
+            self.conformer_pos_enc_layer_type,
+            self.conformer_self_attn_layer_type,
+        )
         self.encoder = ConformerEncoder(
             attention_dim=self.adim,
             attention_heads=self.aheads,
@@ -75,8 +81,8 @@ class MatchaTTS(nn.Module):
             positionwise_layer_type=self.positionwise_layer_type,
             positionwise_conv_kernel_size=self.positionwise_conv_kernel_size,
             macaron_style=self.use_macaron_style_in_conformer,
-            pos_enc_layer_type=self.conformer_pos_enc_layer_type,
-            selfattention_layer_type=self.conformer_self_attn_layer_type,
+            pos_enc_layer_type=pos_enc_type,
+            selfattention_layer_type=selfattn_type,
             activation_type=self.conformer_activation_type,
             use_cnn_module=self.use_cnn_in_conformer,
             cnn_module_kernel=self.conformer_enc_kernel_size,

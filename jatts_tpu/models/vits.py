@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from jatts_tpu.modules.alignment import AlignmentModule
-from jatts_tpu.modules.conformer import ConformerEncoder
+from jatts_tpu.modules.conformer import ConformerEncoder, resolve_rel_pos_types
 from jatts_tpu.modules.predictors import DurationPredictor
 from jatts_tpu.modules.vits_modules import (
     PosteriorEncoder,
@@ -52,6 +52,9 @@ class VITS(nn.Module):
     transformer_dec_dropout_rate: float = 0.2
     transformer_dec_positional_dropout_rate: float = 0.2
     transformer_dec_attn_dropout_rate: float = 0.2
+    conformer_rel_pos_type: str = "legacy"
+    conformer_pos_enc_layer_type: str = "rel_pos"
+    conformer_self_attn_layer_type: str = "rel_selfattn"
     duration_predictor_type: str = "deterministic"
     duration_predictor_layers: int = 2
     duration_predictor_chans: int = 256
@@ -80,6 +83,11 @@ class VITS(nn.Module):
     dtype: Any = jnp.float32
 
     def setup(self):
+        pos_enc_type, selfattn_type = resolve_rel_pos_types(
+            self.conformer_rel_pos_type,
+            self.conformer_pos_enc_layer_type,
+            self.conformer_self_attn_layer_type,
+        )
         self.text_encoder = TextEncoder(
             vocabs=self.idim,
             attention_dim=self.adim,
@@ -93,6 +101,8 @@ class VITS(nn.Module):
             dropout_rate=self.text_encoder_dropout_rate,
             positional_dropout_rate=self.text_encoder_positional_dropout_rate,
             attention_dropout_rate=self.text_encoder_attention_dropout_rate,
+            pos_enc_layer_type=pos_enc_type,
+            selfattention_layer_type=selfattn_type,
             dtype=self.dtype,
             name="text_encoder",
         )
@@ -160,6 +170,8 @@ class VITS(nn.Module):
             macaron_style=self.use_macaron_style_in_conformer,
             use_cnn_module=self.use_cnn_in_conformer,
             cnn_module_kernel=self.conformer_dec_kernel_size,
+            pos_enc_layer_type=pos_enc_type,
+            selfattention_layer_type=selfattn_type,
             dtype=self.dtype,
             name="decoder",
         )

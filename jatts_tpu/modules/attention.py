@@ -78,6 +78,61 @@ def rel_shift_gather(matrix_bd: jnp.ndarray, t_k: int) -> jnp.ndarray:
     )
 
 
+def legacy_rel_shift(x: jnp.ndarray) -> jnp.ndarray:
+    """Legacy Transformer-XL shift (reference attention.py:141-162): pad a
+    zero column, reshape [T1, T2+1] -> [T2+1, T1], drop the first row. Static
+    shapes, so the pad/reshape is free for XLA (no gather needed)."""
+    b, h, t1, t2 = x.shape
+    zero_pad = jnp.zeros((b, h, t1, 1), x.dtype)
+    x_padded = jnp.concatenate([zero_pad, x], axis=-1)
+    x_padded = x_padded.reshape(b, h, t2 + 1, t1)
+    return x_padded[:, :, 1:].reshape(b, h, t1, t2)
+
+
+class LegacyRelPositionMultiHeadedAttention(nn.Module):
+    """Legacy rel-pos MHA (reference attention.py:114-206). pos_emb has
+    length T (reversed positions), not 2T-1. This is the variant every
+    published reference config actually runs (``conformer_rel_pos_type``
+    defaults to "legacy", models/fastspeech2.py:247-259) — required for
+    faithful checkpoint import and training parity."""
+
+    n_head: int
+    n_feat: int
+    dropout_rate: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, query, key, value, pos_emb, mask=None, deterministic: bool = True):
+        d_k = self.n_feat // self.n_head
+        q = _split_heads(nn.Dense(self.n_feat, dtype=self.dtype, name="linear_q")(query), self.n_head)
+        k = _split_heads(nn.Dense(self.n_feat, dtype=self.dtype, name="linear_k")(key), self.n_head)
+        v = _split_heads(nn.Dense(self.n_feat, dtype=self.dtype, name="linear_v")(value), self.n_head)
+
+        # pos_emb: [1, T_q, n_feat], positions reversed (T-1 … 0)
+        p = _split_heads(
+            nn.Dense(self.n_feat, use_bias=False, dtype=self.dtype, name="linear_pos")(pos_emb),
+            self.n_head,
+        )  # [1, H, T_q, d_k]
+
+        pos_bias_u = self.param(
+            "pos_bias_u", nn.initializers.xavier_uniform(), (self.n_head, d_k)
+        ).astype(self.dtype)
+        pos_bias_v = self.param(
+            "pos_bias_v", nn.initializers.xavier_uniform(), (self.n_head, d_k)
+        ).astype(self.dtype)
+
+        q_u = q + pos_bias_u[None, :, None, :]
+        q_v = q + pos_bias_v[None, :, None, :]
+
+        matrix_ac = jnp.einsum("bhqd,bhkd->bhqk", q_u, k)
+        matrix_bd = jnp.einsum("bhqd,xhpd->bhqp", q_v, p)  # x==1 broadcast
+        matrix_bd = legacy_rel_shift(matrix_bd)
+
+        scores = (matrix_ac + matrix_bd) / jnp.sqrt(jnp.asarray(d_k, q.dtype))
+        x = _attend(scores, v, mask, self.dropout_rate, deterministic)
+        return nn.Dense(self.n_feat, dtype=self.dtype, name="linear_out")(_merge_heads(x))
+
+
 class RelPositionMultiHeadedAttention(nn.Module):
     """Transformer-XL style rel-pos MHA (reference attention.py:209-305)."""
 

@@ -44,28 +44,40 @@ class CFM(nn.Module):
             name="estimator",
         )
 
-    def __call__(self, x1, mask, mu, deterministic: bool = False):
-        """Training loss (reference compute_loss, flow_matching.py:124-153)."""
-        rng = self.make_rng("noise")
-        t_rng, z_rng = jax.random.split(rng)
+    def __call__(self, x1, mask, mu, deterministic: bool = False, t=None, z=None):
+        """Training loss (reference compute_loss, flow_matching.py:124-153).
+
+        ``t``/``z`` may be injected (tests, reproducibility); by default they
+        are sampled from the module's "noise" rng stream like the reference
+        samples torch.rand/randn."""
         b = x1.shape[0]
-        t = jax.random.uniform(t_rng, (b, 1, 1), dtype=x1.dtype)
-        z = jax.random.normal(z_rng, x1.shape, dtype=x1.dtype)
+        if t is None or z is None:
+            rng = self.make_rng("noise")
+            t_rng, z_rng = jax.random.split(rng)
+            if t is None:
+                t = jax.random.uniform(t_rng, (b, 1, 1), dtype=x1.dtype)
+            if z is None:
+                z = jax.random.normal(z_rng, x1.shape, dtype=x1.dtype)
         y = (1.0 - (1.0 - self.sigma_min) * t) * z + t * x1
         u = x1 - (1.0 - self.sigma_min) * z
         pred = self.estimator(y, mask, mu, t[:, 0, 0], deterministic=deterministic)
-        err = ((pred - u) ** 2) * mask[..., None]
+        # Reference-exact loss (flow_matching.py:151-153): the target u is NOT
+        # masked — padded frames contribute a constant (1-sigma)^2 z^2 term
+        # (the estimator masks its own output, so no gradient flows there).
+        # Kept for loss-value parity with the reference/upstream Matcha-TTS.
+        err = (pred - u) ** 2
         loss = jnp.sum(err) / jnp.maximum(jnp.sum(mask) * u.shape[-1], 1.0)
         return loss, y
 
     def inference(
         self, mu, mask, n_timesteps: int, temperature: float = 1.0,
-        deterministic: bool = True,
+        deterministic: bool = True, z=None,
     ):
         """Euler ODE sampler (reference inference/solve_euler,
-        flow_matching.py:48-95) as a lax.scan."""
-        rng = self.make_rng("noise")
-        z = jax.random.normal(rng, mu.shape, dtype=mu.dtype) * temperature
+        flow_matching.py:48-95); ``z`` injectable for parity tests."""
+        if z is None:
+            rng = self.make_rng("noise")
+            z = jax.random.normal(rng, mu.shape, dtype=mu.dtype) * temperature
         t_span = jnp.linspace(0.0, 1.0, n_timesteps + 1)
 
         # statically unrolled fixed-step Euler: n_timesteps is a compile-time

@@ -17,14 +17,37 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from jatts_tpu.modules.attention import (
+    LegacyRelPositionMultiHeadedAttention,
     MultiHeadedAttention,
     RelPositionMultiHeadedAttention,
 )
 from jatts_tpu.modules.positional import (
+    LegacyRelPositionalEncoding,
     PositionalEncoding,
     RelPositionalEncoding,
     ScaledPositionalEncoding,
 )
+
+
+def resolve_rel_pos_types(
+    rel_pos_type: str, pos_enc_layer_type: str, selfattention_layer_type: str
+):
+    """Reference rel-pos remap (models/fastspeech2.py:247-267, identically in
+    matchatts/vits): with rel_pos_type="legacy" (the default — and every
+    published recipe config leaves it there), "rel_pos"/"rel_selfattn" are
+    silently remapped to the legacy variants. Mirrored so identical YAML
+    gives identical semantics and checkpoints import faithfully."""
+    if rel_pos_type == "legacy":
+        if pos_enc_layer_type == "rel_pos":
+            pos_enc_layer_type = "legacy_rel_pos"
+        if selfattention_layer_type == "rel_selfattn":
+            selfattention_layer_type = "legacy_rel_selfattn"
+    elif rel_pos_type == "latest":
+        assert pos_enc_layer_type != "legacy_rel_pos"
+        assert selfattention_layer_type != "legacy_rel_selfattn"
+    else:
+        raise ValueError(f"Unknown rel_pos_type: {rel_pos_type}")
+    return pos_enc_layer_type, selfattention_layer_type
 
 
 class Swish(nn.Module):
@@ -182,6 +205,11 @@ class EncoderLayer(nn.Module):
                 self.attention_heads, self.size, self.attention_dropout_rate,
                 dtype=self.dtype, name="self_attn",
             )(h, h, h, pos_emb, mask, deterministic=deterministic)
+        elif self.selfattention_layer_type == "legacy_rel_selfattn":
+            att = LegacyRelPositionMultiHeadedAttention(
+                self.attention_heads, self.size, self.attention_dropout_rate,
+                dtype=self.dtype, name="self_attn",
+            )(h, h, h, pos_emb, mask, deterministic=deterministic)
         else:
             att = MultiHeadedAttention(
                 self.attention_heads, self.size, self.attention_dropout_rate,
@@ -255,6 +283,11 @@ class ConformerEncoder(nn.Module):
 
         if self.pos_enc_layer_type == "rel_pos":
             h, pos_emb = RelPositionalEncoding(
+                self.attention_dim, self.positional_dropout_rate,
+                dtype=self.dtype, name="pos_enc",
+            )(h, deterministic=deterministic)
+        elif self.pos_enc_layer_type == "legacy_rel_pos":
+            h, pos_emb = LegacyRelPositionalEncoding(
                 self.attention_dim, self.positional_dropout_rate,
                 dtype=self.dtype, name="pos_enc",
             )(h, deterministic=deterministic)

@@ -71,6 +71,34 @@ class ScaledPositionalEncoding(nn.Module):
         return nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
 
 
+class LegacyRelPositionalEncoding(nn.Module):
+    """Legacy relative PE: ``(x*sqrt(d), pos_emb[1, T, d])`` with REVERSED
+    positions — pos_emb[p] = PE(T-1-p) (reference positional_encoding.py:198-237,
+    a PositionalEncoding with reverse=True). Used whenever a reference config
+    leaves ``conformer_rel_pos_type`` at its "legacy" default — which is every
+    published recipe config."""
+
+    d_model: int
+    dropout_rate: float = 0.0
+    max_len: int = 5000
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        t = x.shape[1]
+        # The reference builds the reversed table ONCE at max_len and slices
+        # the first T rows (positional_encoding.py:39-42 + :69) — so row p is
+        # PE(max_len-1-p), NOT PE(T-1-p). Faithfully reproduced.
+        table = sinusoid_table(max(t, self.max_len), self.d_model)[::-1]
+        pe = jnp.asarray(table[:t].copy(), dtype=x.dtype)[None]
+        x = x * jnp.sqrt(jnp.asarray(self.d_model, x.dtype))
+        drop = nn.Dropout(self.dropout_rate)
+        return (
+            drop(x, deterministic=deterministic),
+            drop(pe, deterministic=deterministic),
+        )
+
+
 class RelPositionalEncoding(nn.Module):
     """Returns ``(x*sqrt(d), pos_emb[1, 2T-1, d])`` (reference :238-309)."""
 

@@ -29,6 +29,8 @@ class TextEncoder(nn.Module):
     dropout_rate: float = 0.1
     positional_dropout_rate: float = 0.0
     attention_dropout_rate: float = 0.0
+    pos_enc_layer_type: str = "rel_pos"
+    selfattention_layer_type: str = "rel_selfattn"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -58,6 +60,8 @@ class TextEncoder(nn.Module):
             macaron_style=self.use_macaron_style,
             use_cnn_module=self.use_conformer_conv,
             cnn_module_kernel=self.conformer_kernel_size,
+            pos_enc_layer_type=self.pos_enc_layer_type,
+            selfattention_layer_type=self.selfattention_layer_type,
             dtype=self.dtype,
             name="encoder",
         )(emb, mask[:, None, :], deterministic=deterministic)

@@ -28,6 +28,7 @@ def save_checkpoint(outdir: str, steps: int, state: Dict[str, Any]) -> str:
 
 
 def restore_checkpoint(path: str, template: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
+    path = os.path.abspath(path)  # orbax rejects relative paths
     ckptr = ocp.StandardCheckpointer()
     if template is not None:
         return ckptr.restore(path, target=template)

@@ -1,0 +1,344 @@
+"""Parity tests against the ACTUAL reference code at /root/reference.
+
+Unlike tests/test_torch_import_*.py (which compare against in-repo torch
+replicas), these import the reference's own torch modules via
+reference_loader and assert numerical agreement — a shared misunderstanding
+in a replica cannot pass here.
+
+Covers: conformer encoder (legacy + latest rel-pos), FastSpeech2 full
+training forward, MAS viterbi (exact integer durations), Gaussian
+upsampling, length regulation, average_by_duration, ForwardSumLoss, and
+legacy positional-encoding tables.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from reference_loader import load_reference  # noqa: E402
+
+from jatts_tpu.modules.conformer import ConformerEncoder  # noqa: E402
+from jatts_tpu.utils.torch_import import (  # noqa: E402
+    convert_conformer_encoder,
+    convert_fastspeech2,
+)
+
+# ---------------------------------------------------------------------------
+# conformer encoder
+# ---------------------------------------------------------------------------
+
+_ENC_CFG = dict(
+    idim=20, attention_dim=32, attention_heads=2, linear_units=64,
+    num_blocks=2, dropout_rate=0.0, positional_dropout_rate=0.0,
+    attention_dropout_rate=0.0, input_layer="embed",
+    positionwise_layer_type="conv1d", positionwise_conv_kernel_size=3,
+    macaron_style=True, activation_type="swish", use_cnn_module=True,
+    cnn_module_kernel=7, padding_idx=0,
+)
+
+
+def _ref_encoder(pos_enc, selfattn):
+    renc = load_reference("modules.conformer.encoder")
+    torch.manual_seed(0)
+    return renc.Encoder(
+        pos_enc_layer_type=pos_enc, selfattention_layer_type=selfattn,
+        **_ENC_CFG,
+    ).eval()
+
+
+def _our_encoder(pos_enc, selfattn):
+    c = _ENC_CFG
+    return ConformerEncoder(
+        attention_dim=c["attention_dim"], attention_heads=c["attention_heads"],
+        linear_units=c["linear_units"], num_blocks=c["num_blocks"],
+        dropout_rate=0.0, positional_dropout_rate=0.0,
+        attention_dropout_rate=0.0, input_layer="embed", idim=c["idim"],
+        positionwise_layer_type="conv1d", positionwise_conv_kernel_size=3,
+        macaron_style=True, use_cnn_module=True, cnn_module_kernel=7,
+        pos_enc_layer_type=pos_enc, selfattention_layer_type=selfattn,
+    )
+
+
+@pytest.mark.parametrize(
+    "pos_enc,selfattn",
+    [("legacy_rel_pos", "legacy_rel_selfattn"), ("rel_pos", "rel_selfattn")],
+)
+def test_conformer_encoder_reference_parity(pos_enc, selfattn):
+    """Match reference conformer/encoder.py:233-289 for both the legacy
+    variant (what every published config runs — conformer_rel_pos_type
+    defaults to 'legacy') and the latest rel-pos."""
+    tenc = _ref_encoder(pos_enc, selfattn)
+    rng = np.random.default_rng(0)
+    xs = rng.integers(1, _ENC_CFG["idim"], (2, 11))
+    tmask = torch.ones(2, 1, 11, dtype=torch.bool)
+    with torch.no_grad():
+        want, _ = tenc(torch.from_numpy(xs), tmask)
+    want = want.numpy()
+
+    sd = {f"enc.{k}": v.detach().numpy() for k, v in tenc.state_dict().items()}
+    params, batch_stats = convert_conformer_encoder(
+        sd, "enc", _ENC_CFG["num_blocks"], has_embed=True, macaron=True,
+        use_cnn=True,
+    )
+    got = np.asarray(
+        _our_encoder(pos_enc, selfattn).apply(
+            {"params": params, "batch_stats": batch_stats},
+            jnp.array(xs), jnp.array(tmask.numpy()), deterministic=True,
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_legacy_positional_table_reference_parity():
+    """Our legacy PE table must match the reference's reversed max_len table
+    sliced to T (positional_encoding.py:198-237 + :39-42)."""
+    rpos = load_reference("modules.positional_encoding")
+    tpe = rpos.LegacyRelPositionalEncoding(32, dropout_rate=0.0)
+    x = torch.zeros(1, 13, 32)
+    with torch.no_grad():
+        _, pos_emb = tpe(x)
+
+    from jatts_tpu.modules.positional import LegacyRelPositionalEncoding
+
+    ours = LegacyRelPositionalEncoding(32, dropout_rate=0.0)
+    _, got = ours.apply({}, jnp.zeros((1, 13, 32)), deterministic=True)
+    # torch builds the table in float32; we use float64 — at positions ~5000
+    # the trig args differ in the last f32 ulp, so allow ~1e-4 absolute.
+    np.testing.assert_allclose(
+        np.asarray(got), pos_emb.numpy(), rtol=1e-3, atol=5e-4
+    )
+
+
+# ---------------------------------------------------------------------------
+# FastSpeech2 full training forward
+# ---------------------------------------------------------------------------
+
+
+def test_fastspeech2_forward_reference_parity():
+    """Full-model training forward vs the reference FastSpeech2
+    (models/fastspeech2.py:566-653) with its default legacy rel-pos."""
+    rfs2 = load_reference("models.fastspeech2")
+    torch.manual_seed(0)
+    vocab, odim, d = 20, 10, 32
+    tmodel = rfs2.FastSpeech2(
+        idim=vocab, odim=odim, adim=d, aheads=2, elayers=2, eunits=64,
+        dlayers=2, dunits=64, postnet_layers=3, postnet_chans=16,
+        postnet_filts=5, postnet_dropout_rate=0.0,
+        positionwise_layer_type="conv1d", positionwise_conv_kernel_size=3,
+        encoder_type="conformer", decoder_type="conformer",
+        transformer_enc_dropout_rate=0.0,
+        transformer_enc_positional_dropout_rate=0.0,
+        transformer_enc_attn_dropout_rate=0.0,
+        transformer_dec_dropout_rate=0.0,
+        transformer_dec_positional_dropout_rate=0.0,
+        transformer_dec_attn_dropout_rate=0.0,
+        conformer_enc_kernel_size=7, conformer_dec_kernel_size=7,
+        duration_predictor_layers=2, duration_predictor_chans=16,
+        duration_predictor_kernel_size=3, duration_predictor_dropout_rate=0.0,
+        pitch_predictor_layers=2, pitch_predictor_chans=16,
+        pitch_predictor_kernel_size=5, pitch_predictor_dropout=0.0,
+        pitch_embed_kernel_size=1, pitch_embed_dropout=0.0,
+        energy_predictor_layers=2, energy_predictor_chans=16,
+        energy_predictor_kernel_size=3, energy_predictor_dropout=0.0,
+        energy_embed_kernel_size=1, energy_embed_dropout=0.0,
+    ).eval()
+
+    rng = np.random.default_rng(0)
+    b, t_text = 2, 7
+    xs = rng.integers(1, vocab, (b, t_text))
+    ds = rng.integers(2, 7, (b, t_text))
+    t_feats = int(ds.sum(axis=1).max())
+    for i in range(b):
+        ds[i, -1] += t_feats - ds[i].sum()
+    ys = rng.normal(size=(b, t_feats, odim)).astype(np.float32)
+    ps = rng.normal(size=(b, t_text, 1)).astype(np.float32)
+    es = rng.normal(size=(b, t_text, 1)).astype(np.float32)
+    ilens = np.full((b,), t_text, np.int64)
+    olens = np.full((b,), t_feats, np.int64)
+
+    with torch.no_grad():
+        before_t, after_t, d_t, p_t, e_t = tmodel._forward(
+            torch.from_numpy(xs), torch.from_numpy(ilens),
+            torch.from_numpy(ys), torch.from_numpy(olens),
+            ds=torch.from_numpy(ds), ps=torch.from_numpy(ps),
+            es=torch.from_numpy(es),
+        )
+
+    from jatts_tpu.models.fastspeech2 import FastSpeech2
+
+    jmodel = FastSpeech2(
+        idim=vocab, odim=odim, adim=d, aheads=2, elayers=2, eunits=64,
+        dlayers=2, dunits=64, conformer_enc_kernel_size=7,
+        conformer_dec_kernel_size=7, duration_predictor_layers=2,
+        duration_predictor_chans=16, pitch_predictor_layers=2,
+        pitch_predictor_chans=16, pitch_predictor_kernel_size=5,
+        energy_predictor_chans=16, postnet_layers=3, postnet_chans=16,
+        postnet_filts=5,
+        transformer_enc_dropout_rate=0.0,
+        transformer_enc_positional_dropout_rate=0.0,
+        transformer_enc_attn_dropout_rate=0.0,
+        transformer_dec_dropout_rate=0.0,
+        transformer_dec_positional_dropout_rate=0.0,
+        transformer_dec_attn_dropout_rate=0.0,
+        duration_predictor_dropout_rate=0.0, pitch_predictor_dropout=0.0,
+        energy_predictor_dropout=0.0, postnet_dropout_rate=0.0,
+    )
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    variables = convert_fastspeech2(sd, jmodel)
+    out = jmodel.apply(
+        variables, jnp.array(xs), jnp.array(ilens), jnp.array(ys),
+        jnp.array(olens), jnp.array(ds), jnp.array(ps), jnp.array(es),
+        deterministic=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["before_outs"]), before_t.numpy(), rtol=2e-3, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["after_outs"]), after_t.numpy(), rtol=2e-3, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["d_outs"]), d_t.numpy(), rtol=2e-3, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["p_outs"]), p_t.numpy(), rtol=2e-3, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["e_outs"]), e_t.numpy(), rtol=2e-3, atol=2e-4
+    )
+
+
+# ---------------------------------------------------------------------------
+# MAS / upsampling / averaging ops (reference numba kernels run pure-python
+# via the reference_loader numba stub — bit-identical semantics)
+# ---------------------------------------------------------------------------
+
+
+def test_mas_viterbi_reference_exact():
+    """Integer durations must match the reference numba DP exactly
+    (alignments.py:63-94 + 281-310); bin_loss to float tolerance."""
+    ralign = load_reference("modules.alignments")
+    rng = np.random.default_rng(1)
+    b, t_feats, t_text = 3, 37, 11
+    logp = np.log(
+        rng.dirichlet(np.ones(t_text), size=(b, t_feats)).astype(np.float32)
+    )
+    ilens = np.array([11, 7, 9])
+    olens = np.array([37, 21, 30])
+
+    want_ds, want_bin = ralign.viterbi_decode(
+        torch.from_numpy(logp), torch.from_numpy(ilens), torch.from_numpy(olens)
+    )
+
+    from jatts_tpu.ops.mas import viterbi_decode
+
+    got_ds, got_bin = viterbi_decode(
+        jnp.array(logp), jnp.array(ilens), jnp.array(olens)
+    )
+    np.testing.assert_array_equal(np.asarray(got_ds), want_ds.numpy())
+    np.testing.assert_allclose(float(got_bin), float(want_bin), rtol=1e-5)
+
+
+def test_gaussian_upsampling_reference_parity():
+    rlr = load_reference("modules.length_regulator")
+    rng = np.random.default_rng(2)
+    b, t_text, c = 2, 6, 5
+    ds = rng.integers(1, 5, (b, t_text)).astype(np.float32)
+    t_feats = int(ds.sum(axis=1).max())
+    hs = rng.normal(size=(b, t_text, c)).astype(np.float32)
+    h_masks = (np.arange(t_feats)[None] < ds.sum(axis=1, keepdims=True)).astype(bool)
+    d_masks = np.ones((b, t_text), bool)
+    d_masks[1, -2:] = False
+    ds[1, -2:] = 0
+
+    gu = rlr.GaussianUpsampling()
+    with torch.no_grad():
+        want = gu(
+            torch.from_numpy(hs), torch.from_numpy(ds),
+            torch.from_numpy(h_masks), torch.from_numpy(d_masks),
+        ).numpy()
+
+    from jatts_tpu.ops.upsample import gaussian_upsampling
+
+    got = np.asarray(
+        gaussian_upsampling(
+            jnp.array(hs), jnp.array(ds), jnp.array(h_masks), jnp.array(d_masks)
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_length_regulator_reference_parity():
+    """Duration-matmul regulate_length == reference repeat_interleave
+    (length_regulator.py:46-97) on equal total durations."""
+    rlr = load_reference("modules.length_regulator")
+    rng = np.random.default_rng(3)
+    b, t_text, c = 2, 5, 4
+    ds = rng.integers(1, 4, (b, t_text))
+    t_feats = int(ds.sum(axis=1).max())
+    hs = rng.normal(size=(b, t_text, c)).astype(np.float32)
+
+    lr = rlr.LengthRegulator()
+    with torch.no_grad():
+        want = lr(torch.from_numpy(hs), torch.from_numpy(ds)).numpy()
+
+    from jatts_tpu.ops.upsample import regulate_length
+
+    got = np.asarray(regulate_length(jnp.array(hs), jnp.array(ds), t_feats))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_average_by_duration_reference_exact():
+    ralign = load_reference("modules.alignments")
+    rng = np.random.default_rng(4)
+    b, t_text = 3, 6
+    ds = rng.integers(0, 5, (b, t_text)).astype(np.float32)
+    ilens = np.array([6, 4, 5])
+    for i in range(b):
+        ds[i, ilens[i]:] = 0
+        if ds[i, : ilens[i]].sum() == 0:
+            ds[i, 0] = 1
+    olens = ds.sum(axis=1).astype(np.int64)
+    t_feats = int(olens.max())
+    xs = rng.normal(size=(b, t_feats)).astype(np.float32)
+
+    want = ralign.average_by_duration(
+        torch.from_numpy(ds), torch.from_numpy(xs),
+        torch.from_numpy(ilens), torch.from_numpy(olens),
+    ).numpy()
+
+    from jatts_tpu.ops.upsample import average_by_duration
+
+    got = np.asarray(
+        average_by_duration(
+            jnp.array(xs), jnp.array(ds), jnp.array(ilens), jnp.array(olens)
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_forward_sum_loss_reference_parity():
+    """Batched CTC forward-sum + in-jit beta-binomial prior vs the reference
+    per-utterance F.ctc_loss loop with scipy prior (forward_sum_loss.py)."""
+    rfsl = load_reference("losses.forward_sum_loss")
+    rng = np.random.default_rng(5)
+    b, t_feats, t_text = 2, 19, 7
+    logp = np.log(
+        rng.dirichlet(np.ones(t_text), size=(b, t_feats)).astype(np.float32)
+    )
+    ilens = np.array([7, 5])
+    olens = np.array([19, 13])
+
+    crit = rfsl.ForwardSumLoss()
+    want = crit(
+        torch.from_numpy(logp), torch.from_numpy(ilens), torch.from_numpy(olens)
+    )
+
+    from jatts_tpu.losses.align import ForwardSumLoss
+
+    got = ForwardSumLoss()(
+        jnp.array(logp), jnp.array(ilens), jnp.array(olens)
+    )
+    np.testing.assert_allclose(float(got), float(want), rtol=2e-4, atol=1e-5)

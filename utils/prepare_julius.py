@@ -14,7 +14,7 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from jatts_tpu.text.japanese import _kata_to_hira, text_to_kana  # noqa: E402
+from jatts_tpu.text.julius import julius_transcript  # noqa: E402
 from jatts_tpu.utils.io import read_csv  # noqa: E402
 
 
@@ -26,12 +26,11 @@ def main():
     rows, _ = read_csv(args.csv, dict_reader=True)
     os.makedirs(args.outdir, exist_ok=True)
     for row in rows:
-        kana = _kata_to_hira(text_to_kana(row["original_text"]))
         with open(
             os.path.join(args.outdir, f"{row['sample_id']}.txt"), "w",
             encoding="utf-8",
         ) as f:
-            f.write(" ".join(kana) + "\n")
+            f.write(julius_transcript(row["original_text"]) + "\n")
     print(f"prepared {len(rows)} transcripts")
 
 
