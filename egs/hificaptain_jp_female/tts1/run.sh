@@ -1,13 +1,14 @@
 #!/bin/bash
-# JSUT tts2 recipe: implicit alignment (Matcha-TTS MAS / mel-VITS)
-# (mirrors reference egs/jsut/tts2/run.sh stage semantics).
+# Hi-Fi-Captain (ja, female, 48 kHz) tts1 recipe: external (Julius) durations
+# (mirrors reference egs/hificaptain_jp_female/tts1/run.sh stage semantics).
 set -euo pipefail
 
 stage=1
 stop_stage=5
-conf=conf/matcha_tts.mas.v1.yaml
+conf=conf/fastspeech2.v1.yaml
 tag=""
-db_root=downloads/jsut
+db_root=downloads/hi-fi-captain/ja-JP/female
+labdir=""            # julius .lab dir (utils/run_julius.sh output); optional
 train_csv=data/train.csv
 dev_csv=data/dev.csv
 test_csv=data/test.csv
@@ -21,12 +22,13 @@ expdir=exp/${expname}
 BIN=../../../jatts_tpu/bin
 
 if [ "${stage}" -le -1 ] && [ "${stop_stage}" -ge -1 ]; then
-    echo "Stage -1: Download JSUT corpus to ${db_root} (manual; zero-egress images skip this)"
+    echo "Stage -1: Download Hi-Fi-Captain to ${db_root} (manual; zero-egress images skip this)"
 fi
 
 if [ "${stage}" -le 0 ] && [ "${stop_stage}" -ge 0 ]; then
     echo "Stage 0: Data preparation"
-    python local/data_prep.py --db-root "${db_root}" --outdir data
+    python local/data_prep.py --db-root "${db_root}" --outdir data \
+        ${labdir:+--labdir "${labdir}"} --hop-size 512 --fs 48000
 fi
 
 if [ "${stage}" -le 1 ] && [ "${stop_stage}" -ge 1 ]; then

@@ -1,13 +1,14 @@
 #!/bin/bash
-# JSUT tts2 recipe: implicit alignment (Matcha-TTS MAS / mel-VITS)
-# (mirrors reference egs/jsut/tts2/run.sh stage semantics).
+# Hi-Fi-Captain (ja, female, 48 kHz) tts2 recipe: implicit alignment
+# (Matcha-TTS MAS / mel-VITS; mirrors reference
+# egs/hificaptain_jp_female/tts2/run.sh stage semantics).
 set -euo pipefail
 
 stage=1
 stop_stage=5
 conf=conf/matcha_tts.mas.v1.yaml
 tag=""
-db_root=downloads/jsut
+db_root=downloads/hi-fi-captain/ja-JP/female
 train_csv=data/train.csv
 dev_csv=data/dev.csv
 test_csv=data/test.csv
@@ -26,7 +27,7 @@ fi
 
 if [ "${stage}" -le 0 ] && [ "${stop_stage}" -ge 0 ]; then
     echo "Stage 0: Data preparation"
-    python local/data_prep.py --db-root "${db_root}" --outdir data
+    python local/data_prep.py --db-root "${db_root}" --outdir data --sampling-rate 48000
 fi
 
 if [ "${stage}" -le 1 ] && [ "${stop_stage}" -ge 1 ]; then

@@ -5,10 +5,11 @@
 # accelerate / multinode NCCL stack).
 set -euo pipefail
 
-stage=1
+stage=0
 stop_stage=5
 conf=conf/e2tts.v1.yaml
 tag=""
+db_root=downloads/hi-fi-captain/ja-JP/female
 train_csv=data/train.csv
 dev_csv=data/dev.csv
 test_csv=data/test.csv
@@ -19,6 +20,10 @@ multihost=false
 
 expdir=exp/$(basename "${conf%.*}")${tag:+_$tag}
 BIN=../../../jatts_tpu/bin
+
+if [ "${stage}" -le 0 ] && [ "${stop_stage}" -ge 0 ]; then
+    python local/data_prep.py --db-root "${db_root}" --outdir data --sampling-rate 48000
+fi
 
 if [ "${stage}" -le 1 ] && [ "${stop_stage}" -ge 1 ]; then
     for csv in "${train_csv}" "${dev_csv}" "${test_csv}"; do
