@@ -49,10 +49,10 @@ def levenshtein(a: str, b: str) -> int:
 
 
 def _eval_one(task):
-    utt, gen_path, ref_path, sr, f0min, f0max = task
+    utt, gen_path, ref_path, sr, f0min, f0max, mcep_method = task
     gen, _ = read_audio(gen_path, sr)
     ref, _ = read_audio(ref_path, sr)
-    m = calculate_mcd_f0(gen, ref, sr, f0min, f0max)
+    m = calculate_mcd_f0(gen, ref, sr, f0min, f0max, mcep_method=mcep_method)
     m["utt_id"] = utt
     return m
 
@@ -118,6 +118,11 @@ def main():
     parser.add_argument("--metrics", nargs="+", default=["mcd"])
     parser.add_argument("--n-jobs", type=int, default=8)
     parser.add_argument("--asr-path", default=None, help="local ASR weights for CER")
+    parser.add_argument(
+        "--mcep-method", default="world", choices=["world", "dct"],
+        help="mcep extractor: 'world' = CheapTrick+sp2mc (tech-report scale), "
+             "'dct' = fast DCT-of-log-mel (NOT comparable to published MCDs)",
+    )
     parser.add_argument("--out", default=None, help="results csv")
     parser.add_argument("--verbose", type=int, default=1)
     args = parser.parse_args()
@@ -145,7 +150,7 @@ def main():
         spk = row.get("spk", "")
         f0min = float(f0_ranges.get(spk, {}).get("f0min", 40))
         f0max = float(f0_ranges.get(spk, {}).get("f0max", 800))
-        tasks.append((utt, gen_path, row["wav_path"], sr, f0min, f0max))
+        tasks.append((utt, gen_path, row["wav_path"], sr, f0min, f0max, args.mcep_method))
 
     if "asr" in args.metrics:
         _eval_asr(tasks, rows, sr, args)

@@ -73,12 +73,16 @@ class DynamicBatchSampler:
     ):
         order = np.argsort(np.asarray(lengths), kind="stable")
         self.batches = []
+        self.n_dropped = 0
         batch: List[int] = []
         frames = 0
         for idx in order:
             l = lengths[idx]
             if l > frames_threshold:
-                continue  # reference drops silently; we count
+                # the reference drops these silently (tts_dataset.py:254-271);
+                # we count and log so shrunk datasets are visible
+                self.n_dropped += 1
+                continue
             if frames + l > frames_threshold or (max_samples and len(batch) == max_samples):
                 if batch:
                     self.batches.append(batch)
@@ -87,6 +91,13 @@ class DynamicBatchSampler:
             frames += l
         if batch:
             self.batches.append(batch)
+        if self.n_dropped:
+            import logging
+
+            logging.warning(
+                f"DynamicBatchSampler: dropped {self.n_dropped}/{len(lengths)} "
+                f"utterances over the {frames_threshold}-frame threshold"
+            )
         self.shuffle = shuffle
         self.seed = seed
         self.epoch = 0

@@ -1,13 +1,17 @@
 """DTW-based objective metrics (reference jatts/evaluate/dtw_based.py:17-78,
 jatts/utils/signal.py:78-129).
 
-The reference computes mel-cepstra via WORLD cheaptrick + pysptk sp2mc
-(C extensions). Neither ships in this image, so mel-cepstra here are the
-DCT-II of the log-mel spectrum (the standard MFCC-style approximation);
-MCD formula, power-VAD framing, DTW alignment and the F0/DDUR metrics match
-the reference's procedure. Absolute MCD values are therefore on a slightly
-different (but consistent) scale — comparisons against reference-published
-MCDs should re-run both systems through this evaluator.
+Mel-cepstra come from the WORLD-comparable analyzer in
+jatts_tpu/evaluate/world.py (CheapTrick envelope + SPTK sp2mc, 39-dim,
+alpha=0.466, 5 ms shift, fft 1024) so MCD is on the tech report's scale.
+The procedure matches the reference exactly: power-VAD (−20 dB vs mean)
+before the MCD DTW, c0 included in the distance, voiced-frame mcep DTW
+reused for the F0 metrics, DDUR from energy-trimmed waveform lengths.
+
+Divergence from the reference (documented): f0 comes from the package NCCF
+estimator rather than WORLD harvest; the DTW is an exact full DP rather than
+fastdtw's approximation. The legacy DCT-of-log-mel cepstra remain available
+via ``mcep_method="dct"`` for cheap smoke tests.
 """
 
 from __future__ import annotations
@@ -15,23 +19,37 @@ from __future__ import annotations
 from typing import Dict, Tuple
 
 import numpy as np
-import scipy.fftpack
 
-from jatts_tpu.ops.dsp import logmelfilterbank
-from jatts_tpu.ops.pitch import estimate_f0
+from jatts_tpu.evaluate.world import extfrm, world_extract
 
 
-def world_extract(
-    x: np.ndarray,
-    fs: int,
-    f0min: float = 40.0,
-    f0max: float = 800.0,
-    mcep_dim: int = 39,
-    n_fft: int = 1024,
-    n_shift: int = 256,
-) -> Dict[str, np.ndarray]:
-    """Extract mcep + f0 + power (reference signal.py:107-129 analog)."""
+def trim_silence_samples(
+    x: np.ndarray, top_db: float = 60.0, frame: int = 2048, hop: int = 512
+) -> int:
+    """librosa.effects.trim-style energy trim -> number of kept samples
+    (reference dtw_based.py:66-69 uses librosa defaults)."""
+    if len(x) < frame:
+        return len(x)
+    n = 1 + (len(x) - frame) // hop
+    idx = np.arange(n)[:, None] * hop + np.arange(frame)[None, :]
+    rms = np.sqrt((x[idx] ** 2).mean(axis=1) + 1e-12)
+    db = 20.0 * np.log10(rms / max(rms.max(), 1e-12))
+    keep = np.where(db > -top_db)[0]
+    if len(keep) == 0:
+        return 0
+    start = keep[0] * hop
+    end = min(keep[-1] * hop + frame, len(x))
+    return end - start
+
+
+def _dct_extract(x, fs, f0min, f0max, mcep_dim=39, n_fft=1024, n_shift=256):
+    """Legacy DCT-of-log-mel cepstra (round-1 behavior; cheap, NOT on the
+    reference's mcep scale)."""
     import jax.numpy as jnp
+    import scipy.fftpack
+
+    from jatts_tpu.ops.dsp import logmelfilterbank
+    from jatts_tpu.ops.pitch import estimate_f0
 
     mel = np.asarray(
         logmelfilterbank(
@@ -40,23 +58,18 @@ def world_extract(
         )
     )
     mcep = scipy.fftpack.dct(mel, type=2, axis=1, norm="ortho")[:, : mcep_dim + 1]
-    f0 = np.asarray(estimate_f0(jnp.asarray(x), fs, n_shift, f0min=f0min, f0max=f0max))
+    f0 = np.asarray(
+        estimate_f0(jnp.asarray(x), fs, n_shift, f0min=f0min, f0max=f0max)
+    )
     n = min(len(mcep), len(f0))
-    npow = mel[:n].mean(axis=1)  # log-power proxy for VAD
+    npow = 10.0 * (mel[:n].mean(axis=1) - mel.mean()) / np.log(10.0)
     return {"mcep": mcep[:n], "f0": f0[:n], "npow": npow}
-
-
-def extfrm(data: np.ndarray, npow: np.ndarray, power_threshold: float = -20.0):
-    """Power-based VAD (reference signal.py:78-104): keep frames with
-    npow >= max(npow) + threshold (log domain)."""
-    thr = npow.max() + power_threshold / 10.0  # npow is ln mel power
-    keep = npow >= thr
-    return data[keep], keep
 
 
 def dtw_path(x: np.ndarray, y: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """Full-DP DTW with Euclidean local distance -> aligned index pairs
-    (replaces the reference's fastdtw dependency)."""
+    (exact variant of the reference's fastdtw). Vectorized anti-diagonal
+    sweep keeps it O(T^2) numpy ops, not python loops."""
     t1, t2 = len(x), len(y)
     dist = np.sqrt(
         np.maximum(
@@ -65,15 +78,16 @@ def dtw_path(x: np.ndarray, y: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     )
     acc = np.full((t1 + 1, t2 + 1), np.inf)
     acc[0, 0] = 0.0
-    for i in range(1, t1 + 1):
-        row = acc[i]
-        up_diag = np.minimum(acc[i - 1, :-1], acc[i - 1, 1:])  # diag, up
-        running = np.inf  # left neighbor (sequential in j)
-        for j in range(1, t2 + 1):
-            best = min(up_diag[j - 1], running)
-            row[j] = dist[i - 1, j - 1] + best
-            running = row[j]
-    # backtrack
+    # anti-diagonal wavefront: cells (i, j) with i+j = d depend only on d-1, d-2
+    for d in range(2, t1 + t2 + 1):
+        i_lo = max(1, d - t2)
+        i_hi = min(t1, d - 1)
+        if i_lo > i_hi:
+            continue
+        i = np.arange(i_lo, i_hi + 1)
+        j = d - i
+        best = np.minimum(acc[i - 1, j - 1], np.minimum(acc[i - 1, j], acc[i, j - 1]))
+        acc[i, j] = dist[i - 1, j - 1] + best
     i, j = t1, t2
     path = []
     while i > 0 and j > 0:
@@ -95,32 +109,41 @@ def calculate_mcd_f0(
     fs: int,
     f0min: float = 40.0,
     f0max: float = 800.0,
+    mcep_method: str = "world",
 ) -> Dict[str, float]:
-    """MCD / F0RMSE / F0CORR / DDUR between generated x and reference y
-    (reference dtw_based.py:17-78)."""
-    gen = world_extract(x, fs, f0min, f0max)
-    gt = world_extract(y, fs, f0min, f0max)
+    """MCD / F0RMSE / F0CORR / DDUR between generated ``x`` and reference
+    ``y`` (reference dtw_based.py:17-78; x, y in [-1, 1])."""
+    extract = world_extract if mcep_method == "world" else _dct_extract
+    gen = extract(x, fs, f0min, f0max)
+    gt = extract(y, fs, f0min, f0max)
 
-    gen_mcep, _ = extfrm(gen["mcep"], gen["npow"])
-    gt_mcep, _ = extfrm(gt["mcep"], gt["npow"])
+    # --- MCD on power-VAD frames (c0 included, as the reference does)
+    gen_mcep = extfrm(gen["mcep"], gen["npow"])
+    gt_mcep = extfrm(gt["mcep"], gt["npow"])
     if len(gen_mcep) < 2 or len(gt_mcep) < 2:
-        return {"mcd": float("nan"), "f0rmse": float("nan"), "f0corr": float("nan"), "ddur": float("nan")}
+        return {
+            "mcd": float("nan"), "f0rmse": float("nan"),
+            "f0corr": float("nan"), "ddur": float("nan"),
+        }
+    gi, ri = dtw_path(gen_mcep, gt_mcep)
+    diff2sum = ((gen_mcep[gi] - gt_mcep[ri]) ** 2).sum(axis=1)
+    mcd = float(np.mean(10.0 / np.log(10.0) * np.sqrt(2.0 * diff2sum)))
 
-    gi, ri = dtw_path(gen_mcep[:, 1:], gt_mcep[:, 1:])
-    diff = gen_mcep[gi, 1:] - gt_mcep[ri, 1:]
-    mcd = float((10.0 / np.log(10.0)) * np.mean(np.sqrt(2.0 * (diff**2).sum(axis=1))))
-
-    # f0 metrics on voiced-voiced aligned frames
-    gen_f0v = gen["f0"][gen["f0"] > 0][:, None]
-    gt_f0v = gt["f0"][gt["f0"] > 0][:, None]
-    if len(gen_f0v) > 1 and len(gt_f0v) > 1:
-        fi, fj = dtw_path(gen_f0v, gt_f0v)
-        a, b = gen_f0v[fi, 0], gt_f0v[fj, 0]
+    # --- F0 metrics: DTW the voiced-frame mceps, apply the path to f0
+    # (reference dtw_based.py:41-56)
+    gen_vidx = np.where(gen["f0"] > 0)[0]
+    gt_vidx = np.where(gt["f0"] > 0)[0]
+    if len(gen_vidx) > 1 and len(gt_vidx) > 1:
+        fi, fj = dtw_path(gen["mcep"][gen_vidx], gt["mcep"][gt_vidx])
+        a = gen["f0"][gen_vidx][fi]
+        b = gt["f0"][gt_vidx][fj]
         f0rmse = float(np.sqrt(np.mean((a - b) ** 2)))
         f0corr = float(np.corrcoef(a, b)[0, 1]) if len(a) > 1 else float("nan")
     else:
         f0rmse, f0corr = float("nan"), float("nan")
 
-    # duration difference after VAD trim (seconds)
-    ddur = float(abs(len(gen_mcep) - len(gt_mcep)) * 256 / fs)
+    # --- DDUR: energy-trimmed waveform length difference in seconds
+    ddur = float(
+        abs(trim_silence_samples(x) - trim_silence_samples(y)) / fs
+    )
     return {"mcd": mcd, "f0rmse": f0rmse, "f0corr": f0corr, "ddur": ddur}

@@ -120,4 +120,7 @@ def read_audio(
 def write_audio(path: str, wav: np.ndarray, sampling_rate: int) -> None:
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     wav = np.clip(np.asarray(wav, np.float32), -1.0, 1.0)
-    scipy.io.wavfile.write(path, sampling_rate, (wav * 32767.0).astype(np.int16))
+    # round + /32768 scale: exact inverse of read_audio, so read->write->read
+    # is idempotent (astype truncation shifted every sample ~1 LSB)
+    pcm = np.clip(np.round(wav * 32768.0), -32768, 32767).astype(np.int16)
+    scipy.io.wavfile.write(path, sampling_rate, pcm)
