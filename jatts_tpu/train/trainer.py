@@ -100,6 +100,13 @@ class Trainer:
         init_rng, self.rng = jax.random.split(self.rng)
         variables = self._init_variables(init_rng, sample_batch)
         params = variables["params"]
+        init_type = getattr(self.model, "init_type", None)
+        if init_type and init_type != "none":
+            # reference-style re-initialization (jatts/modules/initialize.py)
+            from jatts_tpu.utils.initialize import initialize
+
+            reinit_rng, self.rng = jax.random.split(self.rng)
+            params = initialize(params, init_type, reinit_rng)
         batch_stats = variables.get("batch_stats", {})
         opt_state = self.tx.init(params)
         n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
