@@ -1,8 +1,15 @@
 #!/usr/bin/env python3
-"""FastSpeech2 training-step throughput on one chip (full JSUT config sizes).
+"""FastSpeech2 training throughput on one chip — true device number.
 
-Measures the fully-jitted loss+grad+adam step (the whole hot path of recipe
-stage 3) in f32 and bf16 compute.
+K optimizer steps run inside ONE compiled program (the trainer's
+``steps_per_execution`` lax.scan path), so per-dispatch tunnel overhead is
+amortized K-fold and the wall clock measures device execution, not host
+round trips. The run ends with a scalar host fetch (the only reliable
+completion barrier through the remote tunnel — block_until_ready returns
+early, see CLAUDE.md).
+
+Reports ms/step, mel-frames/s, and MFU against the v5e-1 peak using XLA's
+own per-program FLOP count (``compiled.cost_analysis()``) when available.
 """
 
 import sys
@@ -12,8 +19,26 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
+PEAK_FLOPS = {"bf16": 394e12, "f32": 98e12}  # v5e-1 (CLAUDE.md calibration)
 
-def run(dtype_name: str):
+
+def make_batch(b=32, t_text=128, t_feats=1024):
+    rng = np.random.default_rng(0)
+    ds = rng.integers(4, 12, (b, t_text)).astype(np.int32)
+    return {
+        "xs": rng.integers(1, 64, (b, t_text)).astype(np.int32),
+        "ilens": np.full((b,), t_text, np.int32),
+        "ys": rng.normal(size=(b, t_feats, 80)).astype(np.float32),
+        "olens": np.minimum(ds.sum(-1), t_feats).astype(np.int32),
+        "ds": ds,
+        "ps": rng.normal(size=(b, t_text, 1)).astype(np.float32),
+        "es": rng.normal(size=(b, t_text, 1)).astype(np.float32),
+    }
+
+
+def run(dtype_name: str, k: int = 20, b: int = 32, t_text: int = 128,
+        t_feats: int = 1024, model_kwargs=None, quiet: bool = False):
+    """Returns (ms_per_step, mel_frames_per_s, mfu_or_None)."""
     import jax
     import jax.numpy as jnp
 
@@ -23,54 +48,74 @@ def run(dtype_name: str):
     from jatts_tpu.train.trainer import Trainer
 
     dtype = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
-    b, t_text, t_feats = 32, 128, 1024
-    model = FastSpeech2(idim=64, dtype=dtype)
-    rng = np.random.default_rng(0)
-    ds = rng.integers(4, 12, (b, t_text)).astype(np.int32)
-    batch = {
-        "xs": rng.integers(1, 64, (b, t_text)).astype(np.int32),
-        "ilens": np.full((b,), t_text, np.int32),
-        "ys": rng.normal(size=(b, t_feats, 80)).astype(np.float32),
-        "olens": np.minimum(ds.sum(-1), t_feats).astype(np.int32),
-        "ds": ds,
-        "ps": rng.normal(size=(b, t_text, 1)).astype(np.float32),
-        "es": rng.normal(size=(b, t_text, 1)).astype(np.float32),
-    }
+    model = FastSpeech2(idim=64, dtype=dtype, **(model_kwargs or {}))
+    batch = make_batch(b, t_text, t_feats)
     config = {
         "train_max_steps": 1, "optimizer_type": "Adam",
         "optimizer_params": {"lr": 1e-4}, "grad_norm": 1.0,
         "scheduler": "warmuplr", "scheduler_params": {"warmup_steps": 4000},
+        "steps_per_execution": k,
     }
     criterions = {
-        k: LOSS_REGISTRY[k]()
-        for k in ("MelLoss", "DurationPredictorLoss", "PitchLoss", "EnergyLoss")
+        name: LOSS_REGISTRY[name]()
+        for name in ("MelLoss", "DurationPredictorLoss", "PitchLoss", "EnergyLoss")
     }
     trainer = Trainer(
         config, model, criterions, fastspeech2_loss, None,
         outdir="/tmp/bench_train",
     )
     trainer.init_state(batch)
-    state = trainer.state
-    step_rng = jax.random.key(0)
-    state, stats = trainer.train_step(state, batch, step_rng)  # compile
-    float(stats["train/loss"])  # host fetch = real completion barrier
-    n = 10
-    t0 = time.perf_counter()
-    for _ in range(n):
-        # steps chain through `state`; the final scalar fetch bounds them all
-        state, stats = trainer.train_step(state, batch, step_rng)
-    loss = float(stats["train/loss"])
-    dt = (time.perf_counter() - t0) / n
-    assert np.isfinite(loss)
-    frames_s = b * t_feats / dt
-    print(
-        f"{dtype_name}: {dt * 1e3:.1f} ms/step (B={b}, T={t_feats}) "
-        f"= {frames_s / 1e3:.0f}k mel-frames/s training throughput"
+    stacked = jax.tree_util.tree_map(
+        lambda x: np.broadcast_to(x, (k,) + x.shape), batch
     )
+    offsets = np.arange(k, dtype=np.int32)
+
+    flops_per_step = None
+    try:
+        lowered = trainer.train_step_scan.lower(
+            trainer.state, stacked, trainer.rng, offsets
+        )
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        if cost and cost.get("flops"):
+            flops_per_step = float(cost["flops"]) / k
+    except Exception as e:  # noqa: BLE001 — backend may not expose costs
+        if not quiet:
+            print(f"# cost_analysis unavailable: {str(e)[:120]}")
+
+    state = trainer.state
+    # compile + warmup; loss fetch is the completion barrier
+    state, stats = trainer.train_step_scan(state, stacked, trainer.rng, offsets)
+    loss = float(stats["train/loss"])
+    assert np.isfinite(loss), "non-finite training loss"
+
+    n_rep = 3
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        # state chains the scans; one final fetch bounds all device work
+        state, stats = trainer.train_step_scan(state, stacked, trainer.rng, offsets)
+    loss = float(stats["train/loss"])
+    dt = (time.perf_counter() - t0) / (n_rep * k)
+    assert np.isfinite(loss)
+
+    frames_s = b * t_feats / dt
+    mfu = None
+    if flops_per_step:
+        mfu = flops_per_step / dt / PEAK_FLOPS[dtype_name]
+    if not quiet:
+        msg = (
+            f"{dtype_name}: {dt * 1e3:.2f} ms/step (B={b}, T={t_feats}, "
+            f"{k} steps/dispatch) = {frames_s / 1e3:.0f}k mel-frames/s"
+        )
+        if mfu is not None:
+            msg += f", MFU {mfu * 100:.1f}% ({flops_per_step / 1e9:.1f} GFLOP/step)"
+        print(msg)
+    return dt * 1e3, frames_s, mfu
 
 
 def main():
-    for d in ("f32", "bf16"):
+    for d in ("bf16", "f32"):
         run(d)
 
 

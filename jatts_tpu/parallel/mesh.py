@@ -63,6 +63,19 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     return out
 
 
+def shard_stacked_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """Like :func:`shard_batch` for K stacked batches [K, B, ...]: the scan
+    axis (leading) is replicated, the batch axis (second) sharded over
+    'data'. Used by the trainer's steps_per_execution scan path."""
+    out = {}
+    for k, v in batch.items():
+        if isinstance(v, np.ndarray) and v.ndim >= 2:
+            out[k] = jax.device_put(v, NamedSharding(mesh, P(None, "data")))
+        else:
+            out[k] = v
+    return out
+
+
 def shard_params_tp(params, mesh: Mesh, min_size: int = 2**16):
     """Tensor-parallel parameter sharding over the 'model' axis.
 

@@ -92,6 +92,16 @@ class Trainer:
         os.makedirs(outdir, exist_ok=True)
 
         self.train_step = self._build_train_step()
+        # steps_per_execution > 1: run K optimizer steps per device dispatch
+        # via an on-device lax.scan (TPU-first: amortizes host-dispatch
+        # latency, which dominates on remote/tunneled backends; the torch
+        # reference necessarily dispatches per step). rng folding inside the
+        # scan matches the single-step path exactly (fold_in(rng, step_idx)).
+        self.steps_per_execution = int(config.get("steps_per_execution", 1) or 1)
+        self.train_step_scan = (
+            self._build_train_step_scan() if self.steps_per_execution > 1 else None
+        )
+        self._pending_batches: list = []
         self.eval_step = self._build_eval_step()
         self.state: Optional[TrainState] = None
 
@@ -185,7 +195,25 @@ class Trainer:
             stats["train/grad_norm"] = optax.global_norm(grads)
             return new_state, stats
 
+        self._raw_step_fn = step_fn
         return jax.jit(step_fn, donate_argnums=(0,))
+
+    def _build_train_step_scan(self):
+        """K steps in ONE compiled program: ``lax.scan`` over stacked batches
+        (leading axis K). Returns per-K-mean stats. Exact rng parity with the
+        single-step loop via per-step ``fold_in(rng, global_step_idx)``."""
+        step_fn = self._raw_step_fn
+
+        def scan_fn(state: TrainState, batches, rng, offsets):
+            def body(carry, xs):
+                batch, off = xs
+                new_state, stats = step_fn(carry, batch, jax.random.fold_in(rng, off))
+                return new_state, stats
+
+            state, stats = jax.lax.scan(body, state, (batches, offsets))
+            return state, jax.tree_util.tree_map(lambda x: x.mean(0), stats)
+
+        return jax.jit(scan_fn, donate_argnums=(0,))
 
     def _build_eval_step(self):
         model, criterions, config, loss_fn = (
@@ -218,28 +246,87 @@ class Trainer:
             for batch in self.train_loader:
                 if self.state is None:
                     self.init_state(self._prep(batch, n_dev))
-                step_rng = jax.random.fold_in(self.rng, self.steps)
                 prepped = self._prep(batch, n_dev)
-                if self.mesh is not None:
-                    prepped = shard_batch(prepped, self.mesh)
-                self.state, stats = self.train_step(self.state, prepped, step_rng)
-                self.steps += 1
-                for k, v in stats.items():
-                    self.total_train_loss[k] += float(v)
-
-                self._check_profile()
-                if self.steps % log_every == 0:
-                    self._log_interval(log_every, t0)
-                    t0 = time.time()
-                if eval_every and self.steps % eval_every == 0:
-                    self._eval_interval()
-                if self.steps % save_every == 0:
-                    self.save_checkpoint()
+                for dk, stats in self._dispatch(prepped):
+                    self._after_steps(dk, stats, log_every, save_every,
+                                      eval_every, t0)
+                    if self.steps % log_every < dk:
+                        t0 = time.time()
                 if self.steps >= max_steps:
                     self.finish_train = True
                     break
+            if not self.finish_train:
+                for dk, stats in self._flush_pending():
+                    self._after_steps(dk, stats, log_every, save_every,
+                                      eval_every, t0)
             self.epochs += 1
+        for dk, stats in self._flush_pending():
+            self._after_steps(dk, stats, log_every, save_every, eval_every, t0)
         logging.info(f"finished training at {self.steps} steps")
+
+    def _dispatch(self, prepped):
+        """Execute ``prepped`` (possibly buffering for a K-step scan).
+        Yields (n_steps_executed, mean_stats) per device dispatch."""
+        k = self.steps_per_execution
+        if k <= 1:
+            yield self._run_single(prepped)
+            return
+        sig = tuple(
+            (name, tuple(np.shape(v)), np.asarray(v).dtype.str)
+            for name, v in sorted(prepped.items())
+        )
+        if self._pending_batches and self._pending_batches[0][0] != sig:
+            # shape bucket changed: flush the old bucket first (scan needs
+            # identical shapes across the K stacked batches)
+            yield from self._flush_pending()
+        self._pending_batches.append((sig, prepped))
+        if len(self._pending_batches) == k:
+            yield self._run_scan()
+
+    def _run_single(self, prepped):
+        if self.mesh is not None:
+            prepped = shard_batch(prepped, self.mesh)
+        step_rng = jax.random.fold_in(self.rng, self.steps)
+        self.state, stats = self.train_step(self.state, prepped, step_rng)
+        self.steps += 1
+        return 1, stats
+
+    def _flush_pending(self):
+        """Run buffered batches that never filled a K bucket, one step each."""
+        pending = [b for _, b in self._pending_batches]
+        self._pending_batches = []
+        for prepped in pending:
+            yield self._run_single(prepped)
+
+    def _run_scan(self):
+        k = len(self._pending_batches)
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: np.stack(xs), *[b for _, b in self._pending_batches]
+        )
+        self._pending_batches = []
+        if self.mesh is not None:
+            from jatts_tpu.parallel.mesh import shard_stacked_batch
+
+            stacked = shard_stacked_batch(stacked, self.mesh)
+        offsets = np.arange(self.steps, self.steps + k, dtype=np.int32)
+        self.state, stats = self.train_step_scan(
+            self.state, stacked, self.rng, offsets
+        )
+        self.steps += k
+        return k, stats
+
+    def _after_steps(self, dk, stats, log_every, save_every, eval_every, t0):
+        for k, v in stats.items():
+            self.total_train_loss[k] += float(v) * dk
+        self._check_profile()
+        # boundary-crossing checks: with dk>1 the step counter can jump past
+        # an exact multiple; fire the hook whenever an interval was crossed
+        if (self.steps % log_every) < dk:
+            self._log_interval(log_every, t0)
+        if eval_every and (self.steps % eval_every) < dk:
+            self._eval_interval()
+        if (self.steps % save_every) < dk:
+            self.save_checkpoint()
 
     def _prep(self, batch: Dict[str, Any], n_dev: int) -> Dict[str, Any]:
         batch = pad_batch_to_devices(batch, n_dev)

@@ -93,3 +93,80 @@ def test_train_loop_runs_and_learns(tmp_path, config):
     trainer2.init_state(trainer2._prep(batches[0], 8))
     trainer2.load_checkpoint()
     assert trainer2.steps == 6
+
+
+def test_steps_per_execution_scan_matches_single(tmp_path, config):
+    """K-steps-per-dispatch lax.scan path is numerically identical to the
+    single-step path (same rng folding, same batches, same optimizer)."""
+    batches = [_make_batch(np.random.default_rng(i), t_feats=64) for i in range(4)]
+    model = FastSpeech2(
+        idim=20, odim=8, adim=16, aheads=2, elayers=1, eunits=32, dlayers=1,
+        dunits=32, postnet_layers=2, postnet_chans=8, duration_predictor_chans=8,
+        pitch_predictor_chans=8, pitch_predictor_layers=2, energy_predictor_chans=8,
+    )
+    criterions = {
+        "MelLoss": LOSS_REGISTRY["MelLoss"](),
+        "DurationPredictorLoss": LOSS_REGISTRY["DurationPredictorLoss"](),
+        "PitchLoss": LOSS_REGISTRY["PitchLoss"](),
+        "EnergyLoss": LOSS_REGISTRY["EnergyLoss"](),
+    }
+    mesh = get_mesh()
+
+    def train(cfg_extra, outdir):
+        # SGD, not Adam: Adam's m/sqrt(v) amplifies float-level grad noise
+        # into O(lr)-sized update differences on no-signal params, which makes
+        # exact param comparison ill-conditioned; with SGD any disagreement
+        # beyond float noise is a real rng/batch-order/step-count bug
+        # log_interval large so total_train_loss is never reset mid-run
+        # (the two paths cross log boundaries at different steps otherwise)
+        cfg = {**config, "train_max_steps": 4, "save_interval_steps": 1000,
+               "log_interval_steps": 1000, "optimizer_type": "SGD", **cfg_extra}
+        tr = Trainer(
+            cfg, model, criterions, fastspeech2_loss,
+            FakeLoader(batches), outdir=outdir, mesh=mesh, seed=0,
+        )
+        tr.run()
+        return tr
+
+    single = train({}, str(tmp_path / "single"))
+    scanned = train({"steps_per_execution": 2}, str(tmp_path / "scan"))
+    assert single.steps == scanned.steps == 4
+    assert int(scanned.state.step) == 4
+
+    # the 4-step loss trajectory (summed stats) must match: any rng-stream,
+    # batch-order, or skipped-step bug would shift losses at steps >= 1
+    for key, v in single.total_train_loss.items():
+        assert abs(v - scanned.total_train_loss[key]) <= 1e-4 * abs(v) + 1e-6, key
+
+    import jax
+
+    a = jax.tree_util.tree_leaves(single.state.params)
+    b = jax.tree_util.tree_leaves(scanned.state.params)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-4, atol=1e-6)
+
+
+def test_steps_per_execution_flushes_odd_tail(tmp_path, config):
+    """max_steps not divisible by K: shape-change + epoch-end flushes still
+    execute every step exactly once."""
+    # two shape buckets: forces a mid-epoch flush when the bucket changes
+    batches = [_make_batch(np.random.default_rng(i), t_feats=64) for i in range(2)]
+    batches += [_make_batch(np.random.default_rng(9), b=8, t_text=10, t_feats=56)]
+    model = FastSpeech2(
+        idim=20, odim=8, adim=16, aheads=2, elayers=1, eunits=32, dlayers=1,
+        dunits=32, postnet_layers=2, postnet_chans=8, duration_predictor_chans=8,
+        pitch_predictor_chans=8, pitch_predictor_layers=2, energy_predictor_chans=8,
+    )
+    criterions = {"MelLoss": LOSS_REGISTRY["MelLoss"](),
+                  "DurationPredictorLoss": LOSS_REGISTRY["DurationPredictorLoss"](),
+                  "PitchLoss": LOSS_REGISTRY["PitchLoss"](),
+                  "EnergyLoss": LOSS_REGISTRY["EnergyLoss"]()}
+    cfg = {**config, "train_max_steps": 5, "save_interval_steps": 1000,
+           "steps_per_execution": 4}
+    tr = Trainer(
+        cfg, model, criterions, fastspeech2_loss,
+        FakeLoader(batches), outdir=str(tmp_path), mesh=get_mesh(), seed=0,
+    )
+    tr.run()
+    assert tr.steps >= 5
+    assert int(tr.state.step) == tr.steps
