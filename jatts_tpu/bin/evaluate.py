@@ -62,23 +62,25 @@ def _eval_asr(tasks, rows, sr, args):
     + pyopenjtalk kana normalization, evaluate.py:35-112; weights are not in
     this image, so this requires --asr-path with local weights)."""
     try:
-        import torch  # noqa: PLC0415
         from transformers import pipeline  # noqa: PLC0415
 
         asr = pipeline("automatic-speech-recognition", model=getattr(args, "asr_path", None))
     except Exception as e:  # noqa: BLE001
-        import logging
-
         logging.warning(f"ASR unavailable ({e}); skipping CER")
-        return
+        return None
     ref_by_utt = {r["sample_id"]: r.get("original_text", "") for r in rows}
     total_err, total_len = 0, 0
     for utt, gen_path, *_ in tasks:
-        hyp = asr(gen_path)["text"]
+        # raw-array input: the filename path needs ffmpeg (absent here); the
+        # reference also feeds arrays (evaluate.py:95-99 via librosa.load)
+        wav, _ = read_audio(gen_path, 16000)
+        hyp = asr({"raw": wav, "sampling_rate": 16000})["text"]
         ref = ref_by_utt.get(utt, "")
         total_err += levenshtein(hyp, ref)
         total_len += max(len(ref), 1)
-    print(f"CER: {100.0 * total_err / max(total_len, 1):.2f}%")
+    cer = 100.0 * total_err / max(total_len, 1)
+    print(f"CER: {cer:.2f}%")
+    return cer
 
 
 def _eval_spkemb(tasks, sr):
@@ -90,10 +92,8 @@ def _eval_spkemb(tasks, sr):
 
         clf = EncoderClassifier.from_hparams("speechbrain/spkrec-ecapa-voxceleb")
     except Exception as e:  # noqa: BLE001
-        import logging
-
         logging.warning(f"speechbrain unavailable ({e}); skipping spkemb sim")
-        return
+        return None
     import torch
 
     sims = []
@@ -106,7 +106,9 @@ def _eval_spkemb(tasks, sr):
             e1 = clf.encode_batch(wavs[0]).squeeze()
             e2 = clf.encode_batch(wavs[1]).squeeze()
         sims.append(float(torch.nn.functional.cosine_similarity(e1, e2, dim=0)))
-    print(f"spkemb cosine similarity: {np.mean(sims):.4f}")
+    sim = float(np.mean(sims))
+    print(f"spkemb cosine similarity: {sim:.4f}")
+    return sim
 
 
 def main():

@@ -53,9 +53,10 @@ def _load_codec(codec_path, sr):
             return out.audio_codes[0, 0].T.numpy()  # [T, 8]
 
         def decode(codes):
+            # audio_codes: (nb_frames, batch, nq, frame_len)
             with torch.no_grad():
                 wav = model.decode(
-                    [(torch.from_numpy(codes.T[None]), None)], [None]
+                    torch.from_numpy(codes.T).long()[None, None], [None]
                 ).audio_values
             return wav[0, 0].numpy()
 

@@ -1,19 +1,33 @@
-"""Pallas TPU kernel for Monotonic Alignment Search.
+"""Pallas TPU kernels for Monotonic Alignment Search (batched).
 
-The scan-based `ops.mas` keeps the whole batch on device but issues T_feats
-sequential [B, T_text] vector steps through XLA's while-loop machinery. This
-kernel runs the entire DP for one batch element inside ONE Pallas program:
-the lattice stays resident in VMEM and the forward recurrence is a fori_loop
-of full-lane row ops (token axis on the 128-lane dimension, frame axis on
-sublanes, so all dynamic indexing is in the sublane dimension — a Mosaic
-requirement), with the Viterbi backtrace run in-kernel writing to SMEM.
+Fills the role of the reference's numba CPU kernel
+(jatts/modules/alignments.py:63-310) — but where the reference round-trips
+GPU->CPU->numba per utterance, this runs the whole batch's DP on-chip.
 
-Status (v5e, B=16 x T_feats=1024 x T_text=128): verified bit-exact against
-the scan version on hardware; ~5.5 ms vs ~4.2 ms for the scan (the per-sample
-grid serializes batch elements — a batched-sublane variant hits current
-Mosaic layout-cast limits, so the scan path remains the default in models).
+Design (v2 — the round-1 kernel ran one program per batch element, which
+serialized the batch and lost to the XLA scan):
 
-Grid: one program per batch element. Tests run it with interpret=True.
+* Batch rides the SUBLANE axis: every sequential DP step processes all B
+  lattices as one [B, T_text] vector op (B=16, T_text=128 -> two full
+  8x128 vregs per step) instead of a single [1, T_text] row.
+* The forward pass streams the [T_feats, B, T_text] log-prob lattice
+  through VMEM in frame blocks (grid over blocks, q-row carried in a VMEM
+  scratch that persists across the sequential grid) and emits only the
+  DECISION bits d[j, i] = (Q[j-1, i-1] >= Q[j-1, i]) — the full Q lattice
+  never needs to be resident (VMEM could not hold it at production sizes).
+* The backtrace is a second kernel running the grid in REVERSE, carrying
+  the current token index a[B] and emitting the path as a one-hot
+  [B, T_text] row per frame (vector stores only — Mosaic allows scalar
+  stores just in SMEM; the one-hot avoids per-step transposes). A lane
+  argmax outside recovers the indices.
+* All refs are 2-D ([F_BLK*B, T_text] blocks): dynamic offsets stay on the
+  sublane dimension, which is the Mosaic requirement that sank the round-1
+  batched attempt (leading-dim dynamic slicing of 3-D refs).
+
+Tie-breaking matches ops.mas.mas_path exactly (>= prefers the diagonal
+move), including the padded-frame pinning semantics.
+
+Tests run with interpret=True; bench_mas_pallas.py measures on hardware.
 """
 
 from __future__ import annotations
@@ -28,55 +42,79 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG = -1e9
 
 
-def _mas_kernel(tl_ref, fl_ref, lp_ref, q_ref, path_ref):
-    """Per-batch-element MAS.
+def _fwd_kernel(lp_ref, d_ref, q_scr, *, f_blk: int, b: int):
+    """Forward DP over one frame block.
 
-    tl_ref/fl_ref: SMEM scalar-prefetch (text_len, feats_len per batch).
-    lp_ref: [T_feats, T_text] log probs (invalid tokens pre-masked to -1e9).
-    q_ref:  [T_feats, T_text] DP lattice (VMEM).
-    path_ref: [1, T_feats] int32 path (SMEM — scalar stores).
+    lp_ref: [F_BLK*B, T_text] log probs (frames-major), pre-masked.
+    d_ref:  [F_BLK*B, T_text] f32 out — decision bits (1.0 = diagonal move).
+    q_scr:  [B, T_text] VMEM scratch — Q row carried across grid steps.
     """
-    b = pl.program_id(0)
-    t_feats, t_text = lp_ref.shape
-    text_len = tl_ref[b]
-    feats_len = fl_ref[b]
+    t_text = lp_ref.shape[-1]
+    pid = pl.program_id(0)
+    tok_ids = jax.lax.broadcasted_iota(jnp.int32, (b, t_text), 1)
 
-    tok_ids = jax.lax.broadcasted_iota(jnp.int32, (1, t_text), 1)
-    valid_tok = tok_ids < text_len
+    @pl.when(pid == 0)
+    def _init():
+        # frame 0: only token 0 is reachable
+        q_scr[...] = jnp.where(tok_ids == 0, lp_ref[0:b, :], _NEG)
+        d_ref[0:b, :] = jnp.zeros((b, t_text), jnp.float32)
 
-    # ---- forward DP over frames (sublane axis) ----
-    q_ref[0:1, :] = jnp.where(tok_ids == 0, lp_ref[0:1, :], _NEG)
-
-    def fwd(j, _):
-        q_prev = q_ref[pl.ds(j - 1, 1), :]  # [1, T_text]
-        shifted = pltpu.roll(q_prev, 1, 1)  # q_prev[i-1] along lanes
+    def body(jj, q_prev):
+        row = lp_ref[pl.ds(jj * b, b), :]
+        shifted = pltpu.roll(q_prev, 1, 1)  # Q[j-1, i-1] along lanes
         shifted = jnp.where(tok_ids == 0, _NEG, shifted)
-        q_j = jnp.maximum(shifted, q_prev) + lp_ref[pl.ds(j, 1), :]
-        q_j = jnp.maximum(q_j, _NEG)
-        q_ref[pl.ds(j, 1), :] = jnp.where(valid_tok, q_j, _NEG)
-        return 0
+        diag = shifted >= q_prev
+        q = jnp.maximum(shifted, q_prev) + row
+        d_ref[pl.ds(jj * b, b), :] = diag.astype(jnp.float32)
+        return q
 
-    jax.lax.fori_loop(1, t_feats, fwd, 0)
+    start = jnp.where(pid == 0, 1, 0)
+    q_final = jax.lax.fori_loop(start, f_blk, body, q_scr[...])
+    q_scr[...] = q_final
 
-    # ---- backtrace (reverse over frames) ----
-    last_tok = text_len - 1
-    path_ref[0, t_feats - 1] = last_tok
 
-    def bwd(k, a_next):
-        j = t_feats - 2 - k
-        i_b = a_next
-        i_a = jnp.maximum(i_b - 1, 0)
-        q_row = q_ref[pl.ds(j, 1), :]  # [1, T_text]
-        q_ia = jnp.sum(jnp.where(tok_ids == i_a, q_row, 0.0))
-        q_ib = jnp.sum(jnp.where(tok_ids == i_b, q_row, 0.0))
-        a_j = jnp.where(i_b == 0, 0, jnp.where(q_ia >= q_ib, i_a, i_b))
-        # pin frames at/after the last valid frame to the last token so the
-        # recurrence restarts at j = feats_len - 2 (padded-frame handling)
-        a_j = jnp.where(j >= feats_len - 1, last_tok, a_j)
-        path_ref[0, j] = a_j
-        return a_j
+def _bwd_kernel(dn_ref, tl_ref, fl_ref, oh_ref, a_scr, *, f_blk: int, b: int,
+                t_feats: int):
+    """Backtrace over one frame block, grid iterating blocks in REVERSE.
 
-    jax.lax.fori_loop(0, t_feats - 1, bwd, last_tok)
+    dn_ref: [F_BLK*B, T_text] dnext[j] = d[j+1] (frame-shifted decisions).
+    tl_ref/fl_ref: [B, 1] int32 text/feats lengths (VMEM vectors).
+    oh_ref: [F_BLK*B, T_text] f32 out — one-hot of the chosen token.
+    a_scr:  [B, 1] int32 VMEM scratch — a[j+1] carried across grid steps.
+    """
+    t_text = dn_ref.shape[-1]
+    pid = pl.program_id(0)
+    n_blk = pl.num_programs(0)
+    g0 = (n_blk - 1 - pid) * f_blk
+    tok_ids = jax.lax.broadcasted_iota(jnp.int32, (b, t_text), 1)
+    last_tok = tl_ref[...] - 1  # [B, 1]
+    pin_from = fl_ref[...] - 1  # frames >= feats_len-1 pin to last_tok
+
+    def body(k, a_next):
+        jj = f_blk - 1 - k
+        g = g0 + jj
+        row = dn_ref[pl.ds(jj * b, b), :]
+        sel = jnp.sum(
+            jnp.where(tok_ids == a_next, row, 0.0), axis=-1, keepdims=True
+        ).astype(jnp.int32)
+        a = jnp.maximum(a_next - sel, 0)
+        a = jnp.where(g == t_feats - 1, last_tok, a)
+        a = jnp.where(g >= pin_from, last_tok, a)
+        oh_ref[pl.ds(jj * b, b), :] = (tok_ids == a).astype(jnp.float32)
+        return a
+
+    a0 = jnp.where(pid == 0, last_tok, a_scr[...])
+    a_final = jax.lax.fori_loop(0, f_blk, body, a0)
+    a_scr[...] = a_final
+
+
+def _pick_f_blk(t_feats: int, b: int, t_text: int) -> int:
+    """Largest frame block keeping a block <= ~1 MiB of VMEM."""
+    budget = (1 << 20) // (b * t_text * 4)
+    f_blk = max(1, min(t_feats, budget))
+    while t_feats % f_blk:
+        f_blk -= 1
+    return f_blk
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -86,41 +124,63 @@ def mas_path_pallas(
     feats_lengths: jnp.ndarray,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Drop-in replacement for ops.mas.mas_path via the Pallas kernel."""
+    """Drop-in replacement for ops.mas.mas_path via the Pallas kernels."""
     b, t_feats, t_text = log_p_attn.shape
-    lp = log_p_attn.astype(jnp.float32)  # [B, T_feats, T_text]
+    lp = log_p_attn.astype(jnp.float32)
     tok_valid = jnp.arange(t_text)[None, None, :] < text_lengths[:, None, None]
     lp = jnp.where(tok_valid, lp, _NEG)
+    # frames-major, flattened 2-D so all kernel refs slice on sublanes
+    lp2 = jnp.swapaxes(lp, 0, 1).reshape(t_feats * b, t_text)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(b,),
+    f_blk = _pick_f_blk(t_feats, b, t_text)
+    n_blk = t_feats // f_blk
+    seq = pltpu.CompilerParams(dimension_semantics=("arbitrary",))
+
+    d2 = pl.pallas_call(
+        functools.partial(_fwd_kernel, f_blk=f_blk, b=b),
+        grid=(n_blk,),
         in_specs=[
-            pl.BlockSpec((1, t_feats, t_text), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((f_blk * b, t_text), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, t_feats, t_text), lambda i, *_: (i, 0, 0),
+        out_specs=pl.BlockSpec((f_blk * b, t_text), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t_feats * b, t_text), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((b, t_text), jnp.float32)],
+        compiler_params=seq,
+        interpret=interpret,
+    )(lp2)
+
+    # dnext[j] = d[j+1]: shift one frame so the backtrace block never needs
+    # its neighbor's rows (pad the last frame with zeros = "stay" moves)
+    d3 = d2.reshape(t_feats, b, t_text)
+    dnext = jnp.concatenate(
+        [d3[1:], jnp.zeros((1, b, t_text), jnp.float32)], axis=0
+    ).reshape(t_feats * b, t_text)
+
+    onehot = pl.pallas_call(
+        functools.partial(_bwd_kernel, f_blk=f_blk, b=b, t_feats=t_feats),
+        grid=(n_blk,),
+        in_specs=[
+            pl.BlockSpec((f_blk * b, t_text), lambda i: (n_blk - 1 - i, 0),
                          memory_space=pltpu.VMEM),
-            # scalar element stores are only legal in SMEM on Mosaic
-            pl.BlockSpec((1, 1, t_feats), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((b, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
+        out_specs=pl.BlockSpec((f_blk * b, t_text), lambda i: (n_blk - 1 - i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t_feats * b, t_text), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((b, 1), jnp.int32)],
+        compiler_params=seq,
+        interpret=interpret,
+    )(
+        dnext,
+        text_lengths.astype(jnp.int32)[:, None],
+        feats_lengths.astype(jnp.int32)[:, None],
     )
 
-    def kernel(tl_ref, fl_ref, lp_blk, q_blk, path_blk):
-        _mas_kernel(tl_ref, fl_ref, lp_blk.at[0], q_blk.at[0], path_blk.at[0])
-
-    _, path = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((b, t_feats, t_text), jnp.float32),
-            jax.ShapeDtypeStruct((b, 1, t_feats), jnp.int32),
-        ],
-        interpret=interpret,
-    )(text_lengths.astype(jnp.int32), feats_lengths.astype(jnp.int32), lp)
-    path = path[:, 0, :]
-    # clamp padded frames like the reference wrapper
+    path = jnp.argmax(
+        onehot.reshape(t_feats, b, t_text), axis=-1
+    ).T.astype(jnp.int32)  # [B, T_feats]
     frame_valid = jnp.arange(t_feats)[None, :] < feats_lengths[:, None]
     return jnp.where(frame_valid, path, (text_lengths - 1)[:, None]).astype(jnp.int32)

@@ -19,3 +19,19 @@ def test_pallas_mas_matches_scan():
     want = np.asarray(mas_path(lp, tl, fl))
     got = np.asarray(mas_path_pallas(lp, tl, fl, interpret=True))
     np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_mas_matches_scan_batched_shapes():
+    """Production-like shape with a non-power-of-two frame count (exercises
+    the frame-block divisor pick) and ragged lengths."""
+    rng = np.random.default_rng(1)
+    b, t_feats, t_text = 8, 96, 128
+    lp = jax.nn.log_softmax(
+        jnp.array(rng.normal(size=(b, t_feats, t_text)).astype(np.float32)), axis=-1
+    )
+    tl = jnp.array(rng.integers(2, t_text + 1, (b,)))
+    fl = jnp.array([max(int(t), 96 - 7 * i) for i, t in enumerate(tl)])
+    fl = jnp.minimum(fl, t_feats)
+    want = np.asarray(mas_path(lp, tl, fl))
+    got = np.asarray(mas_path_pallas(lp, tl, fl, interpret=True))
+    np.testing.assert_array_equal(got, want)
