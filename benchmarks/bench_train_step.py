@@ -65,10 +65,15 @@ def run(dtype_name: str, k: int = 20, b: int = 32, t_text: int = 128,
         outdir="/tmp/bench_train",
     )
     trainer.init_state(batch)
-    stacked = jax.tree_util.tree_map(
-        lambda x: np.broadcast_to(x, (k,) + x.shape), batch
+    # device-resident inputs: numpy args re-upload host->device on EVERY
+    # dispatch, which through the remote tunnel costs far more than the
+    # compute being measured
+    stacked = jax.device_put(
+        jax.tree_util.tree_map(
+            lambda x: np.broadcast_to(x, (k,) + x.shape).copy(), batch
+        )
     )
-    offsets = np.arange(k, dtype=np.int32)
+    offsets = jax.device_put(np.arange(k, dtype=np.int32))
 
     flops_per_step = None
     try:

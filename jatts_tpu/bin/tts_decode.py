@@ -53,6 +53,11 @@ def main():
         help="also vocode ground-truth mels (analysis-synthesis debug wavs, "
         "reference tts_decode.py:257-274)",
     )
+    parser.add_argument(
+        "--vocoder", default="auto", choices=["auto", "griffin_lim"],
+        help="'auto' = config-declared HiFi-GAN checkpoint when present; "
+        "'griffin_lim' = weights-free jitted mel inversion",
+    )
     parser.add_argument("--verbose", type=int, default=1)
     args = parser.parse_args()
 
@@ -91,12 +96,19 @@ def main():
 
     vocoder = None
     voc_cfg = config.get("vocoder") or {}
-    if voc_cfg.get("checkpoint") and os.path.exists(voc_cfg["checkpoint"]):
+    if args.vocoder != "griffin_lim" and voc_cfg.get("checkpoint") \
+            and os.path.exists(voc_cfg["checkpoint"]):
         from jatts_tpu.vocoder import Vocoder
 
         vocoder = Vocoder(
             voc_cfg["checkpoint"], voc_cfg["config"], voc_cfg.get("stats")
         )
+    elif args.vocoder == "griffin_lim":
+        # weights-free fallback (the reference always requires a
+        # parallel_wavegan checkpoint; see vocoder.GriffinLimVocoder)
+        from jatts_tpu.vocoder import GriffinLimVocoder
+
+        vocoder = GriffinLimVocoder(config)
 
     infer_kwargs = {}
     if config["model_type"].startswith("MatchaTTS"):

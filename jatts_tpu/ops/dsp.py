@@ -153,3 +153,89 @@ def adjust_num_frames(x: np.ndarray, num_frames: int) -> np.ndarray:
         pad = [(0, num_frames - len(x))] + [(0, 0)] * (x.ndim - 1)
         return np.pad(x, pad)
     return x[:num_frames]
+
+
+def _stft_complex(audio: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
+    window = jnp.asarray(periodic_hann(n_fft), jnp.float32)
+    frames = frame_signal(audio.astype(jnp.float32), n_fft, hop)
+    return jnp.fft.rfft(frames * window[None, :], axis=-1)
+
+
+def _istft(spec: jnp.ndarray, n_fft: int, hop: int, length: int) -> jnp.ndarray:
+    """Inverse STFT with windowed overlap-add (librosa center semantics)."""
+    window = jnp.asarray(periodic_hann(n_fft), jnp.float32)
+    frames = jnp.fft.irfft(spec, n=n_fft, axis=-1) * window[None, :]
+    n_frames = frames.shape[0]
+    total = n_fft + hop * (n_frames - 1)
+    starts = jnp.arange(n_frames) * hop
+    idx = starts[:, None] + jnp.arange(n_fft)[None, :]
+    wav = jnp.zeros(total, jnp.float32).at[idx.reshape(-1)].add(frames.reshape(-1))
+    wsum = jnp.zeros(total, jnp.float32).at[idx.reshape(-1)].add(
+        jnp.broadcast_to(window[None, :] ** 2, idx.shape).reshape(-1)
+    )
+    wav = wav / jnp.maximum(wsum, 1e-8)
+    pad = n_fft // 2
+    return wav[pad : pad + length]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "sampling_rate", "fft_size", "hop_size", "num_mels", "fmin", "fmax",
+        "log_base", "n_iter", "length",
+    ),
+)
+def griffin_lim(
+    log_mel: jnp.ndarray,
+    sampling_rate: int,
+    fft_size: int = 1024,
+    hop_size: int = 256,
+    num_mels: int = 80,
+    fmin: float | None = None,
+    fmax: float | None = None,
+    log_base: float | None = 10.0,
+    n_iter: int = 32,
+    length: int | None = None,
+) -> jnp.ndarray:
+    """Weights-free mel inversion: log-mel ``[T, num_mels]`` -> waveform.
+
+    Pseudo-inverse of the Slaney mel basis recovers a linear magnitude
+    estimate, then ``n_iter`` Griffin-Lim phase iterations run as one jitted
+    ``lax.fori_loop`` (each step = ISTFT -> STFT -> magnitude projection).
+    The reference has no vocoderless path at all — decoding there requires a
+    parallel_wavegan checkpoint (jatts/vocoder/vocoder.py:16-44); this is
+    the debugging / no-weights fallback used by ``tts_decode --vocoder
+    griffin_lim`` and the quality E2E tests.
+    """
+    fmin = 0.0 if fmin is None else fmin
+    fmax = sampling_rate / 2.0 if fmax is None else fmax
+    if log_base is None:
+        mel = jnp.exp(log_mel)
+    elif log_base == 10.0:
+        mel = jnp.power(10.0, log_mel)
+    elif log_base == 2.0:
+        mel = jnp.power(2.0, log_mel)
+    else:
+        raise ValueError(f"{log_base} is not supported.")
+    basis = np.asarray(
+        mel_filterbank(sampling_rate, fft_size, num_mels, fmin, fmax),
+        np.float32,
+    )  # [num_mels, n_bins]
+    inv = jnp.asarray(np.linalg.pinv(basis), jnp.float32)  # [n_bins, num_mels]
+    mag = jnp.maximum(mel @ inv.T, 0.0) ** 1.0  # [T, n_bins]
+
+    t_frames = log_mel.shape[0]
+    length = length if length is not None else t_frames * hop_size
+    # frame_signal produces 1 + length//hop frames; match the magnitude grid
+    wav_len = (t_frames - 1) * hop_size
+
+    def step(_, wav):
+        spec = _stft_complex(wav, fft_size, hop_size)
+        phase = spec / jnp.maximum(jnp.abs(spec), 1e-8)
+        return _istft(mag[: spec.shape[0]] * phase, fft_size, hop_size, wav_len)
+
+    wav0 = _istft(mag.astype(jnp.complex64), fft_size, hop_size, wav_len)
+    wav = jax.lax.fori_loop(0, n_iter, step, wav0)
+    out = jnp.zeros(length, jnp.float32)
+    n = min(length, wav_len)
+    return out.at[:n].set(wav[:n])

@@ -1,3 +1,3 @@
 """Vocoders: JAX HiFi-GAN generator + reference-checkpoint importer."""
 
-from jatts_tpu.vocoder.vocoder import Vocoder
+from jatts_tpu.vocoder.vocoder import GriffinLimVocoder, Vocoder

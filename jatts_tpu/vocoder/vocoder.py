@@ -85,3 +85,54 @@ class Vocoder:
         rtf = (time.time() - start) / (len(wav) / self.sampling_rate)
         logging.debug(f"vocoder RTF = {rtf:.6f}")
         return wav
+
+
+class GriffinLimVocoder:
+    """Weights-free mel inversion with the Vocoder.decode interface.
+
+    The reference cannot decode without a parallel_wavegan checkpoint
+    (jatts/vocoder/vocoder.py:16-44); this fallback inverts log-mels via the
+    jitted Griffin-Lim in ops/dsp.py so tts_decode always produces audio
+    (``--vocoder griffin_lim`` or when no vocoder checkpoint is configured).
+    Expects mels normalized by the acoustic model stats (like Vocoder).
+    """
+
+    def __init__(self, config: Dict[str, Any], n_iter: int = 32,
+                 pad_multiple: int = 64):
+        self.config = config
+        self.sampling_rate = int(config.get("sampling_rate", 24000))
+        self.fft_size = int(config.get("fft_size", 2048))
+        self.hop_size = int(config.get("hop_size", 300))
+        self.num_mels = int(config.get("num_mels", 80))
+        self.fmin = config.get("fmin", 80)
+        self.fmax = config.get("fmax", 7600)
+        self.n_iter = n_iter
+        self.pad_multiple = pad_multiple
+
+    def decode(
+        self,
+        mel: np.ndarray,
+        model_mean: Optional[np.ndarray] = None,
+        model_scale: Optional[np.ndarray] = None,
+    ) -> np.ndarray:
+        from jatts_tpu.ops.dsp import griffin_lim
+
+        start = time.time()
+        if model_mean is not None:
+            mel = mel * model_scale + model_mean
+        t = mel.shape[0]
+        # bucket-pad T so repeated calls hit one compiled program per bucket
+        t_pad = ((t + self.pad_multiple - 1) // self.pad_multiple) * self.pad_multiple
+        mel_p = np.pad(mel, ((0, t_pad - t), (0, 0)), mode="edge")
+        wav = griffin_lim(
+            jnp.asarray(mel_p, jnp.float32), self.sampling_rate,
+            fft_size=self.fft_size, hop_size=self.hop_size,
+            num_mels=self.num_mels,
+            fmin=None if self.fmin is None else float(self.fmin),
+            fmax=None if self.fmax is None else float(self.fmax),
+            n_iter=self.n_iter, length=t_pad * self.hop_size,
+        )
+        wav = np.asarray(wav)[: t * self.hop_size]
+        rtf = (time.time() - start) / max(len(wav) / self.sampling_rate, 1e-9)
+        logging.info(f"griffin-lim: generated {len(wav)} samples (RTF {rtf:.3f})")
+        return wav
