@@ -56,6 +56,8 @@ class VITS(nn.Module):
     conformer_pos_enc_layer_type: str = "rel_pos"
     conformer_self_attn_layer_type: str = "rel_selfattn"
     duration_predictor_type: str = "deterministic"
+    # 'auto' = batched Pallas MAS on TPU (18x vs scan), XLA scan elsewhere
+    mas_backend: str = "auto"
     duration_predictor_layers: int = 2
     duration_predictor_chans: int = 256
     duration_predictor_kernel_size: int = 3
@@ -214,7 +216,9 @@ class VITS(nn.Module):
 
         d_masks = sequence_mask(ilens, t_text)
         log_p_attn = self.alignment_module(hs, ys, d_masks)
-        ds, bin_loss = viterbi_decode(log_p_attn, ilens, olens)
+        ds, bin_loss = viterbi_decode(
+            log_p_attn, ilens, olens, backend=self.mas_backend
+        )
         dur_nll = None
         if self.duration_predictor_type == "stochastic":
             # flow NLL of the MAS durations (reference vits.py:503-509)

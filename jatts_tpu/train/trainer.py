@@ -78,7 +78,12 @@ class Trainer:
         self.kwargs_fn = kwargs_fn
         self.steps = 0
         self.epochs = 0
-        self.rng = jax.random.key(seed)
+        # PRNG impl: threefry dropout-mask generation is ALU-bound on TPU and
+        # measured at ~45% of the FS2 train step (benchmarks/bench_train_step
+        # probe, v5e); 'rbg' uses the hardware RNG instruction. Default stays
+        # threefry (reproducibility / cross-backend determinism); recipes opt
+        # into rbg via `rng_impl: rbg`.
+        self.rng = jax.random.key(seed, impl=config.get("rng_impl") or "threefry2x32")
         self.tx = build_optimizer(config)
         accum = int(config.get("gradient_accumulate_steps", 1) or 1)
         if accum > 1:

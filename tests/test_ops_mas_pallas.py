@@ -35,3 +35,21 @@ def test_pallas_mas_matches_scan_batched_shapes():
     want = np.asarray(mas_path(lp, tl, fl))
     got = np.asarray(mas_path_pallas(lp, tl, fl, interpret=True))
     np.testing.assert_array_equal(got, want)
+
+
+def test_viterbi_decode_backend_wirethrough():
+    """Model-facing viterbi_decode routes through the Pallas kernel when the
+    backend flag asks for it (interpret mode on CPU) with identical outputs."""
+    from jatts_tpu.ops.mas import viterbi_decode
+
+    rng = np.random.default_rng(2)
+    b, t_feats, t_text = 2, 32, 16
+    lp = jax.nn.log_softmax(
+        jnp.array(rng.normal(size=(b, t_feats, t_text)).astype(np.float32)), axis=-1
+    )
+    tl = jnp.array([16, 10])
+    fl = jnp.array([32, 25])
+    ds_scan, bl_scan = viterbi_decode(lp, tl, fl, backend="scan")
+    ds_pal, bl_pal = viterbi_decode(lp, tl, fl, backend="pallas_interpret")
+    np.testing.assert_array_equal(np.asarray(ds_scan), np.asarray(ds_pal))
+    np.testing.assert_allclose(float(bl_scan), float(bl_pal), rtol=1e-6)

@@ -170,3 +170,23 @@ def test_steps_per_execution_flushes_odd_tail(tmp_path, config):
     tr.run()
     assert tr.steps >= 5
     assert int(tr.state.step) == tr.steps
+
+
+def test_rng_impl_rbg(tmp_path, config):
+    """`rng_impl: rbg` (TPU hardware RNG for dropout masks) threads through
+    init/train and still learns; default stays threefry."""
+    batches = [_make_batch(np.random.default_rng(i), t_feats=64) for i in range(2)]
+    model = FastSpeech2(
+        idim=20, odim=8, adim=16, aheads=2, elayers=1, eunits=32, dlayers=1,
+        dunits=32, postnet_layers=2, postnet_chans=8, duration_predictor_chans=8,
+        pitch_predictor_chans=8, pitch_predictor_layers=2, energy_predictor_chans=8,
+    )
+    criterions = {k: LOSS_REGISTRY[k]() for k in
+                  ("MelLoss", "DurationPredictorLoss", "PitchLoss", "EnergyLoss")}
+    cfg = {**config, "train_max_steps": 2, "save_interval_steps": 1000,
+           "rng_impl": "rbg"}
+    tr = Trainer(cfg, model, criterions, fastspeech2_loss,
+                 FakeLoader(batches), outdir=str(tmp_path), mesh=get_mesh())
+    tr.run()
+    assert tr.steps == 2
+    assert np.isfinite(tr.total_train_loss["train/loss"])
