@@ -123,6 +123,91 @@ def _run_config(name, model_kwargs):
     return rtf, frames_per_sec, b, t_feats
 
 
+TRAIN_CONFIGS = [
+    # (label, steps-per-dispatch K, model kwargs) — big first, shrink on
+    # relay 413 / compile flakes
+    ("full-jsut", 10, {}),
+    ("mid", 10, dict(adim=256, elayers=2, dlayers=2, eunits=1024, dunits=1024)),
+    ("small", 5, dict(adim=128, elayers=2, dlayers=2, eunits=512, dunits=512,
+                      postnet_chans=128, duration_predictor_chans=128,
+                      pitch_predictor_chans=128, energy_predictor_chans=128)),
+]
+
+
+def _train_extra():
+    """FS2 bf16 training throughput via the steps_per_execution scan path
+    (true device number: K steps per dispatch, scalar-fetch barrier)."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from benchmarks.bench_train_step import run as train_run
+
+    last = None
+    for label, k, kw in TRAIN_CONFIGS:
+        try:
+            # rng_impl=rbg is what the shipped recipe confs use
+            ms, fps, mfu = train_run(
+                "bf16", k=k, model_kwargs=kw, config_extra={"rng_impl": "rbg"},
+                quiet=True,
+            )
+        except Exception as e:  # noqa: BLE001
+            last = e
+            print(f"# train config {label} failed: {str(e)[:160]}", flush=True)
+            continue
+        out = {
+            "train_config": label,
+            "train_ms_per_step": round(ms, 3),
+            "train_mel_frames_per_s": round(fps),
+        }
+        if mfu is not None:
+            out["train_mfu_vs_394tflops_bf16"] = round(mfu, 4)
+        # NOTE: the flash-attention variant (attn_backend='flash') measured
+        # SLOWER for FS2 shapes (52.4 vs 42.3 ms/step at T=512): the rel-pos
+        # bd bias must still be materialized as [B,H,T,T] and d_head=96 pads
+        # to 128 inside the kernel. Kept as an opt-in, not benched here.
+        return out
+    print(f"# all train configs failed: {str(last)[:160]}", flush=True)
+    return {}
+
+
+def _valle_extra():
+    """VALL-E AR KV-cached scan decode tok/s (the reference re-forwards the
+    whole sequence per token — see benchmarks/bench_valle_decode.py)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from jatts_tpu.models.valle import VALLEAR, ar_generate
+
+    b, tx, tp, steps = 4, 64, 225, 256
+    model = VALLEAR(idim=0, n_tokens=1024, d_model=1024, n_heads=16, n_layers=12)
+    rng = np.random.default_rng(0)
+    text = jnp.asarray(rng.integers(0, 1024, (b, tx)).astype(np.int32))
+    text_lens = jnp.full((b,), tx, jnp.int32)
+    proms = jnp.asarray(rng.integers(0, 1024, (b, tp, 8)).astype(np.int32))
+    prom_lens = jnp.full((b,), tp, jnp.int32)
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        text, text_lens, proms, jnp.full((b,), tp, jnp.int32),
+        jnp.zeros((b, 8), jnp.int32), jnp.full((b,), 8, jnp.int32),
+        deterministic=True,
+    )
+    gen = jax.jit(
+        lambda v, r: ar_generate(
+            model, v, r, text, text_lens, proms, prom_lens, max_steps=steps
+        )
+    )
+    np.asarray(gen(variables, jax.random.key(2))["codes"])  # compile+barrier
+    n = 3
+    t0 = time.perf_counter()
+    for i in range(n):
+        out = gen(variables, jax.random.key(3 + i))
+        np.asarray(out["codes"])  # host fetch = completion barrier
+    dt = (time.perf_counter() - t0) / n
+    return {"valle_ar_decode_tok_per_s": round(b * steps / dt)}
+
+
 def main():
     _enable_compile_cache()
     last_err = None
@@ -133,6 +218,12 @@ def main():
             last_err = e
             print(f"# config {name} failed: {str(e)[:160]}", flush=True)
             continue
+        extra = {}
+        for fn in (_train_extra, _valle_extra):
+            try:
+                extra.update(fn())
+            except Exception as e:  # noqa: BLE001 — extras must never kill
+                print(f"# {fn.__name__} failed: {str(e)[:160]}", flush=True)
         target = 0.01
         print(
             json.dumps(
@@ -143,6 +234,7 @@ def main():
                     "value": round(rtf, 8),
                     "unit": "rtf",
                     "vs_baseline": round(target / rtf, 3),
+                    **extra,
                 }
             )
         )

@@ -37,7 +37,8 @@ def make_batch(b=32, t_text=128, t_feats=1024):
 
 
 def run(dtype_name: str, k: int = 20, b: int = 32, t_text: int = 128,
-        t_feats: int = 1024, model_kwargs=None, quiet: bool = False):
+        t_feats: int = 1024, model_kwargs=None, config_extra=None,
+        quiet: bool = False):
     """Returns (ms_per_step, mel_frames_per_s, mfu_or_None)."""
     import jax
     import jax.numpy as jnp
@@ -55,6 +56,7 @@ def run(dtype_name: str, k: int = 20, b: int = 32, t_text: int = 128,
         "optimizer_params": {"lr": 1e-4}, "grad_norm": 1.0,
         "scheduler": "warmuplr", "scheduler_params": {"warmup_steps": 4000},
         "steps_per_execution": k,
+        **(config_extra or {}),
     }
     criterions = {
         name: LOSS_REGISTRY[name]()

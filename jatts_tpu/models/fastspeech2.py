@@ -85,6 +85,8 @@ class FastSpeech2(nn.Module):
     use_masking: bool = True
     use_batch_norm: bool = True
     init_type: str = "xavier_uniform"
+    # 'flash' = fused Pallas attention on TPU (skips attention-prob dropout)
+    attn_backend: str = "xla"
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -113,6 +115,7 @@ class FastSpeech2(nn.Module):
             use_cnn_module=self.use_cnn_in_conformer,
             cnn_module_kernel=self.conformer_enc_kernel_size,
             dtype=self.dtype,
+            attn_backend=self.attn_backend,
             name="encoder",
         )
         if self.spks is not None and self.spks > 1:
@@ -167,6 +170,7 @@ class FastSpeech2(nn.Module):
             use_cnn_module=self.use_cnn_in_conformer,
             cnn_module_kernel=self.conformer_dec_kernel_size,
             dtype=self.dtype,
+            attn_backend=self.attn_backend,
             name="decoder",
         )
         self.feat_out = nn.Dense(

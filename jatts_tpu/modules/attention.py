@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import flax.linen as nn
 import jax.numpy as jnp
+import numpy as np
 
 _MASK_VAL = -1e9
 
@@ -32,6 +33,7 @@ class MultiHeadedAttention(nn.Module):
     n_feat: int
     dropout_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    attn_backend: str = "xla"  # 'flash' = fused Pallas kernel on TPU
 
     @nn.compact
     def __call__(self, query, key, value, mask=None, deterministic: bool = True):
@@ -39,10 +41,14 @@ class MultiHeadedAttention(nn.Module):
         q = _split_heads(nn.Dense(self.n_feat, dtype=self.dtype, name="linear_q")(query), self.n_head)
         k = _split_heads(nn.Dense(self.n_feat, dtype=self.dtype, name="linear_k")(key), self.n_head)
         v = _split_heads(nn.Dense(self.n_feat, dtype=self.dtype, name="linear_v")(value), self.n_head)
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(
-            jnp.asarray(d_k, q.dtype)
-        )
-        x = _attend(scores, v, mask, self.dropout_rate, deterministic)
+        sm_scale = 1.0 / np.sqrt(d_k)
+        if _flash_ok(self.attn_backend, mask, q.shape[2], k.shape[2]):
+            x = _flash_attend(q, k, v, None, mask, sm_scale)
+        else:
+            scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) * jnp.asarray(
+                sm_scale, q.dtype
+            )
+            x = _attend(scores, v, mask, self.dropout_rate, deterministic)
         return nn.Dense(self.n_feat, dtype=self.dtype, name="linear_out")(_merge_heads(x))
 
 
@@ -59,6 +65,52 @@ def _attend(scores, v, mask, dropout_rate, deterministic):
         attn = nn.softmax(scores, axis=-1)
     attn = nn.Dropout(rate=dropout_rate, name="dropout")(attn, deterministic=deterministic) if dropout_rate > 0 else attn
     return jnp.einsum("bhqk,bhkd->bhqd", attn.astype(v.dtype), v)
+
+
+def _flash_ok(backend: str, mask, t_q: int, t_k: int) -> bool:
+    """Trace-time gate for the fused-attention path: TPU-class backend,
+    128-divisible sequence lengths (kernel block size), and a per-key
+    padding mask (segment ids cannot express arbitrary [B, Tq, Tk] masks)."""
+    import jax
+
+    if backend != "flash":
+        return False
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    if t_q % 128 or t_k % 128:
+        return False
+    return mask is None or (mask.ndim == 3 and mask.shape[1] == 1) or mask.ndim == 2
+
+
+def _flash_attend(q, k, v, ab, mask, sm_scale):
+    """softmax(q k^T * sm_scale + ab) v via the Pallas TPU flash-attention
+    kernel (training-capable custom VJP incl. d(ab)) — the [B,H,Tq,Tk]
+    attention probabilities are never materialized in HBM. Attention-prob
+    dropout is NOT applied on this path (flash kernels don't support it);
+    opt in via attn_backend='flash' accepts that delta vs the reference.
+
+    q/k/v: [B, H, T, d]; ab: [B, H, Tq, Tk] additive bias (pre-scaled) or
+    None; mask: [B, 1, Tk] / [B, Tk] True-on-valid or None.
+    """
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        SegmentIds,
+        flash_attention,
+    )
+
+    b, _, t_q, d = q.shape
+    t_k = k.shape[2]
+    d_pad = -d % 128  # lane-dim alignment: zero-pad head dim
+    if d_pad:
+        pad = lambda x: jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, d_pad)))
+        q, k, v = pad(q), pad(k), pad(v)
+    seg = None
+    if mask is not None:
+        ids = (mask[:, 0] if mask.ndim == 3 else mask).astype(jnp.int32)
+        seg = SegmentIds(q=ids, kv=ids)  # self-attention padding mask
+    out = flash_attention(
+        q, k, v, ab=ab, segment_ids=seg, causal=False, sm_scale=float(sm_scale)
+    )
+    return out[..., :d]
 
 
 def rel_shift_gather(matrix_bd: jnp.ndarray, t_k: int) -> jnp.ndarray:
@@ -100,6 +152,7 @@ class LegacyRelPositionMultiHeadedAttention(nn.Module):
     n_feat: int
     dropout_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    attn_backend: str = "xla"  # 'flash' = fused Pallas kernel on TPU
 
     @nn.compact
     def __call__(self, query, key, value, pos_emb, mask=None, deterministic: bool = True):
@@ -124,12 +177,17 @@ class LegacyRelPositionMultiHeadedAttention(nn.Module):
         q_u = q + pos_bias_u[None, :, None, :]
         q_v = q + pos_bias_v[None, :, None, :]
 
-        matrix_ac = jnp.einsum("bhqd,bhkd->bhqk", q_u, k)
         matrix_bd = jnp.einsum("bhqd,xhpd->bhqp", q_v, p)  # x==1 broadcast
         matrix_bd = legacy_rel_shift(matrix_bd)
+        sm_scale = 1.0 / np.sqrt(d_k)
 
-        scores = (matrix_ac + matrix_bd) / jnp.sqrt(jnp.asarray(d_k, q.dtype))
-        x = _attend(scores, v, mask, self.dropout_rate, deterministic)
+        if _flash_ok(self.attn_backend, mask, q.shape[2], k.shape[2]):
+            # the kernel computes (q k^T + ab) * sm_scale -> pass bd unscaled
+            x = _flash_attend(q_u, k, v, matrix_bd.astype(q.dtype), mask, sm_scale)
+        else:
+            matrix_ac = jnp.einsum("bhqd,bhkd->bhqk", q_u, k)
+            scores = (matrix_ac + matrix_bd) * jnp.asarray(sm_scale, q.dtype)
+            x = _attend(scores, v, mask, self.dropout_rate, deterministic)
         return nn.Dense(self.n_feat, dtype=self.dtype, name="linear_out")(_merge_heads(x))
 
 
@@ -140,6 +198,7 @@ class RelPositionMultiHeadedAttention(nn.Module):
     n_feat: int
     dropout_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    attn_backend: str = "xla"  # 'flash' = fused Pallas kernel on TPU
 
     @nn.compact
     def __call__(self, query, key, value, pos_emb, mask=None, deterministic: bool = True):
@@ -164,10 +223,15 @@ class RelPositionMultiHeadedAttention(nn.Module):
         q_u = q + pos_bias_u[None, :, None, :]
         q_v = q + pos_bias_v[None, :, None, :]
 
-        matrix_ac = jnp.einsum("bhqd,bhkd->bhqk", q_u, k)
         matrix_bd = jnp.einsum("bhqd,xhpd->bhqp", q_v, p)  # x==1 broadcast
         matrix_bd = rel_shift_gather(matrix_bd, k.shape[2])
+        sm_scale = 1.0 / np.sqrt(d_k)
 
-        scores = (matrix_ac + matrix_bd) / jnp.sqrt(jnp.asarray(d_k, q.dtype))
-        x = _attend(scores, v, mask, self.dropout_rate, deterministic)
+        if _flash_ok(self.attn_backend, mask, q.shape[2], k.shape[2]):
+            # the kernel computes (q k^T + ab) * sm_scale -> pass bd unscaled
+            x = _flash_attend(q_u, k, v, matrix_bd.astype(q.dtype), mask, sm_scale)
+        else:
+            matrix_ac = jnp.einsum("bhqd,bhkd->bhqk", q_u, k)
+            scores = (matrix_ac + matrix_bd) * jnp.asarray(sm_scale, q.dtype)
+            x = _attend(scores, v, mask, self.dropout_rate, deterministic)
         return nn.Dense(self.n_feat, dtype=self.dtype, name="linear_out")(_merge_heads(x))

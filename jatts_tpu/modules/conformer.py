@@ -159,6 +159,7 @@ class EncoderLayer(nn.Module):
     normalize_before: bool = True
     selfattention_layer_type: str = "rel_selfattn"
     dtype: jnp.dtype = jnp.float32
+    attn_backend: str = "xla"  # 'flash' = fused Pallas attention on TPU
 
     def _ffn(self, name):
         if self.positionwise_layer_type == "conv1d":
@@ -203,17 +204,20 @@ class EncoderLayer(nn.Module):
         if self.selfattention_layer_type == "rel_selfattn":
             att = RelPositionMultiHeadedAttention(
                 self.attention_heads, self.size, self.attention_dropout_rate,
-                dtype=self.dtype, name="self_attn",
+                dtype=self.dtype, attn_backend=self.attn_backend,
+                name="self_attn",
             )(h, h, h, pos_emb, mask, deterministic=deterministic)
         elif self.selfattention_layer_type == "legacy_rel_selfattn":
             att = LegacyRelPositionMultiHeadedAttention(
                 self.attention_heads, self.size, self.attention_dropout_rate,
-                dtype=self.dtype, name="self_attn",
+                dtype=self.dtype, attn_backend=self.attn_backend,
+                name="self_attn",
             )(h, h, h, pos_emb, mask, deterministic=deterministic)
         else:
             att = MultiHeadedAttention(
                 self.attention_heads, self.size, self.attention_dropout_rate,
-                dtype=self.dtype, name="self_attn",
+                dtype=self.dtype, attn_backend=self.attn_backend,
+                name="self_attn",
             )(h, h, h, mask, deterministic=deterministic)
         x = zero_pad(residual + drop(att, deterministic=deterministic))
 
@@ -262,6 +266,7 @@ class ConformerEncoder(nn.Module):
     cnn_module_kernel: int = 7
     padding_idx: int = 0
     dtype: jnp.dtype = jnp.float32
+    attn_backend: str = "xla"  # 'flash' = fused Pallas attention on TPU
 
     @nn.compact
     def __call__(self, xs, mask=None, pad_mask_t=None, deterministic: bool = True):
@@ -317,7 +322,7 @@ class ConformerEncoder(nn.Module):
                 self.macaron_style, self.use_cnn_module, self.cnn_module_kernel,
                 self.activation_type, self.normalize_before,
                 self.selfattention_layer_type, dtype=self.dtype,
-                name=f"encoders_{i}",
+                attn_backend=self.attn_backend, name=f"encoders_{i}",
             )(h, pos_emb, mask, pad_mask_t, deterministic=deterministic)
 
         if self.normalize_before:

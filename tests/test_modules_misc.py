@@ -72,3 +72,33 @@ def test_conformer_abs_pos_and_plain_attention():
     y = enc.apply(v, xs, mask, deterministic=True)
     assert y.shape == (2, 4, 16)
     assert np.isfinite(np.asarray(y)).all()
+
+
+def test_attn_backend_flash_falls_back_on_cpu():
+    """attn_backend='flash' is gated to TPU backends at trace time; on CPU
+    the module must silently take the XLA path with identical outputs."""
+    import jax
+    import jax.numpy as jnp
+
+    from jatts_tpu.modules.attention import (
+        LegacyRelPositionMultiHeadedAttention,
+        _flash_ok,
+    )
+    from jatts_tpu.modules.positional import LegacyRelPositionalEncoding
+
+    assert not _flash_ok("flash", None, 128, 128)  # CPU backend
+    assert not _flash_ok("xla", None, 128, 128)
+
+    b, t, d, h = 2, 128, 32, 2
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(b, t, d)).astype(np.float32))
+    mask = jnp.ones((b, 1, t), bool)
+    _, pos = LegacyRelPositionalEncoding(d, dropout_rate=0.0).apply(
+        {}, jnp.zeros((1, t, d)), deterministic=True
+    )
+    m_x = LegacyRelPositionMultiHeadedAttention(h, d, 0.0, attn_backend="xla")
+    m_f = LegacyRelPositionMultiHeadedAttention(h, d, 0.0, attn_backend="flash")
+    v = m_x.init(jax.random.key(0), x, x, x, pos, mask)
+    a = m_x.apply(v, x, x, x, pos, mask, deterministic=True)
+    c = m_f.apply(v, x, x, x, pos, mask, deterministic=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
