@@ -82,7 +82,7 @@ def _flash_ok(backend: str, mask, t_q: int, t_k: int) -> bool:
     return mask is None or (mask.ndim == 3 and mask.shape[1] == 1) or mask.ndim == 2
 
 
-def _flash_attend(q, k, v, ab, mask, sm_scale):
+def _flash_attend(q, k, v, ab, mask, sm_scale, causal=False):
     """softmax(q k^T * sm_scale + ab) v via the Pallas TPU flash-attention
     kernel (training-capable custom VJP incl. d(ab)) — the [B,H,Tq,Tk]
     attention probabilities are never materialized in HBM. Attention-prob
@@ -108,7 +108,7 @@ def _flash_attend(q, k, v, ab, mask, sm_scale):
         ids = (mask[:, 0] if mask.ndim == 3 else mask).astype(jnp.int32)
         seg = SegmentIds(q=ids, kv=ids)  # self-attention padding mask
     out = flash_attention(
-        q, k, v, ab=ab, segment_ids=seg, causal=False, sm_scale=float(sm_scale)
+        q, k, v, ab=ab, segment_ids=seg, causal=causal, sm_scale=float(sm_scale)
     )
     return out[..., :d]
 

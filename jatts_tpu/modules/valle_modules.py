@@ -72,6 +72,7 @@ class VALLEAttention(nn.Module):
     d_model: int
     n_heads: int
     causal: bool
+    attn_backend: str = "xla"  # 'flash' = fused Pallas attention on TPU
 
     def setup(self):
         self.to_qkv = nn.Dense(self.d_model * 3, use_bias=False, name="to_qkv")
@@ -83,17 +84,29 @@ class VALLEAttention(nn.Module):
 
     def __call__(self, x, m):
         """x: [B, T, D]; m: [B, T, 1] validity."""
+        from jatts_tpu.modules.attention import _flash_attend, _flash_ok
+
         q, k, v = jnp.split(self.to_qkv(x), 3, axis=-1)
         q, k, v = self._split(q), self._split(k), self._split(v)
         scale = (self.d_model // self.n_heads) ** -0.5
-        e = jnp.einsum("bihd,bjhd->bhij", q, k) * scale
-        kpm = (m[:, :, 0][:, None, :, None] * m[:, :, 0][:, None, None, :]) > 0
-        if self.causal:
-            t = x.shape[1]
-            kpm = kpm & jnp.tril(jnp.ones((t, t), bool))[None, None]
-        e = jnp.where(kpm, e, _MASK_VAL)
-        a = nn.softmax(e, axis=-1)
-        o = jnp.einsum("bhij,bjhd->bihd", a, v)
+        t = x.shape[1]
+        valid = m[:, :, 0] > 0  # [B, T]
+        if _flash_ok(self.attn_backend, valid, t, t):
+            # fused kernel: the [B,H,S,S] score/prob tensors (the dominant
+            # HBM cost at S~1.5k) never materialize; causal handled in-kernel
+            o = _flash_attend(
+                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3), None, valid, scale,
+                causal=self.causal,
+            ).transpose(0, 2, 1, 3)
+        else:
+            e = jnp.einsum("bihd,bjhd->bhij", q, k) * scale
+            kpm = (m[:, :, 0][:, None, :, None] * m[:, :, 0][:, None, None, :]) > 0
+            if self.causal:
+                kpm = kpm & jnp.tril(jnp.ones((t, t), bool))[None, None]
+            e = jnp.where(kpm, e, _MASK_VAL)
+            a = nn.softmax(e, axis=-1)
+            o = jnp.einsum("bhij,bjhd->bihd", a, v)
         o = o.reshape(x.shape)
         return self.to_out(o) * m
 
@@ -134,9 +147,13 @@ class VALLEBlock(nn.Module):
     causal: bool
     norm_type: str  # "ln" | "adaln"
     n_levels: Optional[int] = None
+    attn_backend: str = "xla"
 
     def setup(self):
-        self.attn = VALLEAttention(self.d_model, self.n_heads, self.causal, name="attn")
+        self.attn = VALLEAttention(
+            self.d_model, self.n_heads, self.causal,
+            attn_backend=self.attn_backend, name="attn",
+        )
         if self.norm_type == "adaln":
             self.norm_attn = AdaLN(self.d_model, self.n_levels, name="norm_attn")
             self.norm_ffn = AdaLN(self.d_model, self.n_levels, name="norm_ffn")

@@ -89,3 +89,38 @@ def test_valle_ar_remat_grad():
 
     g = jax.grad(loss)(variables["params"])
     assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree_util.tree_leaves(g))
+
+
+def test_valle_attn_backend_flash_cpu_fallback():
+    """attn_backend='flash' on CPU: the trace-time gate falls back to the XLA
+    path, and the trunk's 128-padding leaves logits on the valid region
+    identical to the unpadded xla run."""
+    import jax
+    import jax.numpy as jnp
+
+    from jatts_tpu.models.valle import VALLEAR
+
+    b, tx, tp, tr = 2, 12, 20, 30
+    rng = np.random.default_rng(0)
+    text = jnp.asarray(rng.integers(0, 40, (b, tx)).astype(np.int32))
+    text_lens = jnp.asarray([12, 9])
+    proms = jnp.asarray(rng.integers(0, 40, (b, tp, 8)).astype(np.int32))
+    prom_lens = jnp.asarray([20, 15])
+    resps = jnp.asarray(rng.integers(0, 40, (b, tr)).astype(np.int32))
+    resp_lens = jnp.asarray([30, 22])
+
+    kw = dict(idim=0, n_tokens=40, d_model=32, n_heads=2, n_layers=2,
+              p_dropout=0.0)
+    m_x = VALLEAR(**kw, attn_backend="xla")
+    m_f = VALLEAR(**kw, attn_backend="flash")
+    v = m_x.init({"params": jax.random.key(0), "dropout": jax.random.key(1)},
+                 text, text_lens, proms, prom_lens, resps, resp_lens,
+                 deterministic=True)
+    ox = m_x.apply(v, text, text_lens, proms, prom_lens, resps, resp_lens,
+                   deterministic=True)
+    of = m_f.apply(v, text, text_lens, proms, prom_lens, resps, resp_lens,
+                   deterministic=True)
+    np.testing.assert_allclose(
+        np.asarray(ox["logits"]), np.asarray(of["logits"]), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(float(ox["loss"]), float(of["loss"]), rtol=1e-6)
