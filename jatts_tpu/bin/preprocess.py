@@ -59,10 +59,12 @@ def main():
             f0_ranges = yaml.load(f, Loader=yaml.SafeLoader) or {}
 
     sr = int(config["sampling_rate"])
-    hop = int(config["hop_size"])
     feat_list = list(config.get("feat_list", ["mel"]))
+    # STFT settings are only required when spectral features are extracted
+    # (codec-only ttslm recipes configure neither, reference encodec.py:18-100)
+    hop = int(config.get("hop_size", 300))
 
-    mel_ex = LogMelExtractor(
+    mel_ex = None if not ({"mel", "pitch", "energy"} & set(feat_list)) else LogMelExtractor(
         sampling_rate=sr,
         fft_size=config["fft_size"],
         hop_size=hop,
@@ -82,10 +84,10 @@ def main():
             gain=float(config.get("global_gain_scale", 1.0)),
         )
         feat_path = os.path.join(args.dumpdir, f"{utt}.h5")
-        mel = mel_ex(wav)
+        mel = mel_ex(wav) if mel_ex is not None else None
 
         durations = None
-        if row.get("durations"):
+        if row.get("durations") and mel is not None:
             durations = np.asarray([int(d) for d in row["durations"].split()])
             # mel frames must match sum of durations (reference
             # preprocess.py:258-261); crop the overhang like the reference.

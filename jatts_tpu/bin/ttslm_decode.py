@@ -56,7 +56,7 @@ def _load_codec(codec_path, sr):
             # audio_codes: (nb_frames, batch, nq, frame_len)
             with torch.no_grad():
                 wav = model.decode(
-                    torch.from_numpy(codes.T).long()[None, None], [None]
+                    torch.from_numpy(codes.T.copy()).long()[None, None], [None]
                 ).audio_values
             return wav[0, 0].numpy()
 

@@ -11,8 +11,6 @@ Reference counterparts: jatts/feature_extract/encodec.py:18-100,
 jatts/bin/evaluate.py:35-112 (nue-asr CER), evaluate.py:217-244 (spkemb).
 """
 
-import json
-import os
 import sys
 import types
 
@@ -22,55 +20,17 @@ import pytest
 torch = pytest.importorskip("torch")
 
 
+from tiny_models import make_tiny_asr, make_tiny_encodec
+
+
 @pytest.fixture(scope="module")
 def tiny_encodec_dir(tmp_path_factory):
-    from transformers import EncodecConfig, EncodecModel
-
-    cfg = EncodecConfig(
-        target_bandwidths=[1.5, 3.0, 6.0], sampling_rate=24000,
-        audio_channels=1, num_filters=4, num_residual_layers=1,
-        # codebook 1024 = 10 bits/quantizer -> 8 quantizers at 6 kbps / 75 Hz,
-        # matching the real facebook/encodec_24khz layout the recipes expect
-        upsampling_ratios=[8, 5, 4, 2], codebook_size=1024, codebook_dim=16,
-        hidden_size=16, num_lstm_layers=1,
-    )
-    d = str(tmp_path_factory.mktemp("tiny_encodec"))
-    torch.manual_seed(0)
-    EncodecModel(cfg).eval().save_pretrained(d)
-    return d
+    return make_tiny_encodec(str(tmp_path_factory.mktemp("tiny_encodec")))
 
 
 @pytest.fixture(scope="module")
 def tiny_asr_dir(tmp_path_factory):
-    from transformers import (
-        Wav2Vec2Config,
-        Wav2Vec2CTCTokenizer,
-        Wav2Vec2FeatureExtractor,
-        Wav2Vec2ForCTC,
-        Wav2Vec2Processor,
-    )
-
-    d = str(tmp_path_factory.mktemp("tiny_asr"))
-    vocab = {c: i for i, c in enumerate(
-        ["<pad>", "<s>", "</s>", "<unk>", "|", "a", "b", "c"])}
-    with open(os.path.join(d, "vocab.json"), "w") as f:
-        json.dump(vocab, f)
-    tok = Wav2Vec2CTCTokenizer(os.path.join(d, "vocab.json"))
-    fe = Wav2Vec2FeatureExtractor(
-        feature_size=1, sampling_rate=16000, padding_value=0.0,
-        do_normalize=True, return_attention_mask=False,
-    )
-    proc = Wav2Vec2Processor(feature_extractor=fe, tokenizer=tok)
-    cfg = Wav2Vec2Config(
-        vocab_size=len(vocab), hidden_size=32, num_hidden_layers=1,
-        num_attention_heads=2, intermediate_size=64, conv_dim=(8, 8),
-        conv_stride=(5, 2), conv_kernel=(10, 3), num_feat_extract_layers=2,
-        num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=2,
-    )
-    torch.manual_seed(0)
-    Wav2Vec2ForCTC(cfg).eval().save_pretrained(d)
-    proc.save_pretrained(d)
-    return d
+    return make_tiny_asr(str(tmp_path_factory.mktemp("tiny_asr")))
 
 
 def _wav(seed, n=4800, sr=24000, path=None):
