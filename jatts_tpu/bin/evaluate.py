@@ -111,6 +111,26 @@ def _eval_spkemb(tasks, sr):
     return sim
 
 
+def _eval_sheet(tasks, source=None):
+    """SHEET MOS prediction (gated on torch.hub — reference
+    evaluate.py:246-267 loads unilight/sheet:v0.1.0; zero-egress images pass
+    ``--sheet-source`` pointing at a local hubconf dir)."""
+    try:
+        import torch  # noqa: PLC0415
+
+        predictor = torch.hub.load(
+            source or "unilight/sheet:v0.1.0", "default", trust_repo=True,
+            **({"source": "local"} if source else {"force_reload": True}),
+        )
+    except Exception as e:  # noqa: BLE001
+        logging.warning(f"SHEET unavailable ({e}); skipping MOS")
+        return None
+    scores = [float(predictor.predict(wav_path=gen)) for _, gen, *_ in tasks]
+    mos = float(np.mean(scores))
+    print(f"SHEET score: {mos:.3f}")
+    return mos
+
+
 def main():
     parser = argparse.ArgumentParser(description="Objective evaluation (stage 5).")
     parser.add_argument("--csv", required=True, help="test-set csv with wav_path refs")
@@ -120,6 +140,10 @@ def main():
     parser.add_argument("--metrics", nargs="+", default=["mcd"])
     parser.add_argument("--n-jobs", type=int, default=8)
     parser.add_argument("--asr-path", default=None, help="local ASR weights for CER")
+    parser.add_argument(
+        "--sheet-source", default=None,
+        help="local torch.hub dir with the SHEET predictor (zero-egress)",
+    )
     parser.add_argument(
         "--mcep-method", default="world", choices=["world", "dct"],
         help="mcep extractor: 'world' = CheapTrick+sp2mc (tech-report scale), "
@@ -158,6 +182,8 @@ def main():
         _eval_asr(tasks, rows, sr, args)
     if "spkemb" in args.metrics:
         _eval_spkemb(tasks, sr)
+    if "sheet" in args.metrics:
+        _eval_sheet(tasks, source=args.sheet_source)
 
     results = []
     if "mcd" in args.metrics:

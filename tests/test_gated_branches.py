@@ -118,3 +118,24 @@ def test_extract_spkemb_stub(monkeypatch):
     emb = _extract_spkemb(_wav(2, n=16000), 16000)
     assert emb is not None and emb.shape == (192,)
     assert emb.dtype == np.float32
+
+
+def test_eval_sheet_local_hub(tmp_path):
+    """SHEET MOS branch via a LOCAL torch.hub directory (hubconf.py with a
+    'default' entry point), as --sheet-source enables in zero-egress images."""
+    from jatts_tpu.bin.evaluate import _eval_sheet
+
+    hub = tmp_path / "sheet_hub"
+    hub.mkdir()
+    (hub / "hubconf.py").write_text(
+        "dependencies = []\n"
+        "class _P:\n"
+        "    def predict(self, wav_path=None):\n"
+        "        return 3.5\n"
+        "def default(**kwargs):\n"
+        "    return _P()\n"
+    )
+    p = tmp_path / "utt0.wav"
+    _wav(0, n=16000, sr=16000, path=p)
+    mos = _eval_sheet([("utt0", str(p), str(p), 16000)], source=str(hub))
+    assert mos == 3.5
