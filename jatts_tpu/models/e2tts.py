@@ -49,6 +49,9 @@ class E2TTS(nn.Module):
     audio_drop_prob: float = 0.3
     cond_drop_prob: float = 0.2
     frac_lengths_mask: Tuple[float, float] = (0.7, 1.0)
+    # 'flash' (default) = fused Pallas attention on TPU (no semantic delta:
+    # the XLA path has no attention-prob dropout either); off-TPU falls back
+    attn_backend: str = "flash"
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -63,6 +66,7 @@ class E2TTS(nn.Module):
             ff_mult=self.ff_mult,
             text_mask_padding=self.text_mask_padding,
             pe_attn_head=self.pe_attn_head,
+            attn_backend=self.attn_backend,
             name="backbone",
         )
 

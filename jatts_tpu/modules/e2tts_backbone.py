@@ -102,6 +102,7 @@ class E2Attention(nn.Module):
     dim_head: int
     pe_attn_head: Optional[int] = None
     dropout_rate: float = 0.1
+    attn_backend: str = "xla"  # 'flash' = fused Pallas attention on TPU
 
     @nn.compact
     def __call__(self, x, freqs, mask=None, deterministic: bool = True):
@@ -115,13 +116,20 @@ class E2Attention(nn.Module):
         q = jnp.concatenate([apply_rope(q[:, :pn], freqs), q[:, pn:]], axis=1)
         k = jnp.concatenate([apply_rope(k[:, :pn], freqs), k[:, pn:]], axis=1)
 
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(
-            jnp.asarray(self.dim_head, q.dtype)
-        )
-        if mask is not None:
-            scores = jnp.where(mask[:, None, None, :], scores, _MASK_VAL)
-        attn = nn.softmax(scores, axis=-1)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        from jatts_tpu.modules.attention import _flash_attend, _flash_ok
+
+        if _flash_ok(self.attn_backend, mask, n, n):
+            # fused kernel (no attention-prob dropout exists on the XLA path
+            # either, so no semantic delta); rope already applied to q/k
+            out = _flash_attend(q, k, v, None, mask, 1.0 / np.sqrt(self.dim_head))
+        else:
+            scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(
+                jnp.asarray(self.dim_head, q.dtype)
+            )
+            if mask is not None:
+                scores = jnp.where(mask[:, None, None, :], scores, _MASK_VAL)
+            attn = nn.softmax(scores, axis=-1)
+            out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
         out = nn.Dense(self.dim, name="to_out")(out)
         out = nn.Dropout(self.dropout_rate)(out, deterministic=deterministic)
@@ -155,6 +163,9 @@ class UNetT(nn.Module):
     text_mask_padding: bool = False
     pe_attn_head: Optional[int] = 1
     skip_connect_type: str = "concat"
+    # 'flash' = fused Pallas attention on TPU: pads [time | mel] to the
+    # kernel's 128-wide blocks (masked + sliced back)
+    attn_backend: str = "xla"
 
     @nn.compact
     def __call__(
@@ -201,7 +212,17 @@ class UNetT(nn.Module):
                 [jnp.ones((b, 1), mask.dtype), mask], axis=1
             )
 
-        freqs = jnp.asarray(rotary_freqs(n + 1, self.dim_head), jnp.float32)
+        s_orig = h.shape[1]
+        if self.attn_backend == "flash":
+            s_pad = -s_orig % 128
+            if s_pad:
+                # pad rows MUST be masked out as keys, so materialize a mask
+                if mask is None:
+                    mask = jnp.ones((b, s_orig), bool)
+                h = jnp.pad(h, ((0, 0), (0, s_pad), (0, 0)))
+                mask = jnp.pad(mask, ((0, 0), (0, s_pad)))
+
+        freqs = jnp.asarray(rotary_freqs(h.shape[1], self.dim_head), jnp.float32)
 
         skips = []
         for idx in range(self.depth):
@@ -219,11 +240,12 @@ class UNetT(nn.Module):
                     h = h + skip
             h = E2Attention(
                 self.dim, self.heads, self.dim_head, self.pe_attn_head,
-                self.dropout_rate, name=f"attn_{idx}",
+                self.dropout_rate, attn_backend=self.attn_backend,
+                name=f"attn_{idx}",
             )(RMSNorm(name=f"attn_norm_{idx}")(h), freqs, mask, deterministic) + h
             h = E2FeedForward(
                 self.dim, self.ff_mult, self.dropout_rate, name=f"ff_{idx}"
             )(RMSNorm(name=f"ff_norm_{idx}")(h), deterministic) + h
 
-        h = RMSNorm(name="norm_out")(h)[:, 1:, :]
+        h = RMSNorm(name="norm_out")(h)[:, 1:s_orig, :]
         return nn.Dense(self.mel_dim, name="proj_out")(h)
