@@ -208,6 +208,44 @@ def _valle_extra():
     return {"valle_ar_decode_tok_per_s": round(b * steps / dt)}
 
 
+def _mas_extra():
+    """Batched Pallas MAS vs XLA scan (both compiled; cached after the first
+    run — see benchmarks/bench_mas_pallas.py for the full study)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from jatts_tpu.ops.mas import mas_path
+    from jatts_tpu.ops.mas_pallas import mas_path_pallas
+
+    b, t_feats, t_text = 16, 1024, 128
+    rng = np.random.default_rng(0)
+    lp = jax.nn.log_softmax(
+        jnp.asarray(rng.normal(size=(b, t_feats, t_text)).astype(np.float32)),
+        axis=-1,
+    )
+    tl = jnp.asarray(rng.integers(t_text // 2, t_text + 1, (b,)))
+    fl = jnp.asarray(rng.integers(t_feats // 2, t_feats + 1, (b,)))
+
+    def t(fn):
+        out = fn(lp, tl, fl)
+        float(out.sum())  # compile + barrier
+        t0 = time.perf_counter()
+        acc = 0
+        for _ in range(5):
+            out = fn(lp + (acc * 0.0), tl, fl)
+            acc = out.sum() * jnp.float32(1e-12)
+        float(acc)
+        return (time.perf_counter() - t0) / 5
+
+    t_scan, t_pal = t(jax.jit(mas_path)), t(jax.jit(mas_path_pallas))
+    return {
+        "mas_pallas_ms": round(t_pal * 1e3, 2),
+        "mas_pallas_speedup_vs_scan": round(t_scan / t_pal, 2),
+    }
+
+
 def main():
     _enable_compile_cache()
     last_err = None
@@ -219,7 +257,7 @@ def main():
             print(f"# config {name} failed: {str(e)[:160]}", flush=True)
             continue
         extra = {}
-        for fn in (_train_extra, _valle_extra):
+        for fn in (_train_extra, _valle_extra, _mas_extra):
             try:
                 extra.update(fn())
             except Exception as e:  # noqa: BLE001 — extras must never kill
