@@ -181,7 +181,10 @@ def _valle_extra():
     from jatts_tpu.models.valle import VALLEAR, ar_generate
 
     b, tx, tp, steps = 4, 64, 225, 256
-    model = VALLEAR(idim=0, n_tokens=1024, d_model=1024, n_heads=16, n_layers=12)
+    # bf16 compute + bf16-resident params (the ttslm_decode default): the
+    # KV decode is HBM-bandwidth bound, bf16 params measured 1.25x
+    model = VALLEAR(idim=0, n_tokens=1024, d_model=1024, n_heads=16,
+                    n_layers=12, dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
     text = jnp.asarray(rng.integers(0, 1024, (b, tx)).astype(np.int32))
     text_lens = jnp.full((b,), tx, jnp.int32)
@@ -192,6 +195,10 @@ def _valle_extra():
         text, text_lens, proms, jnp.full((b,), tp, jnp.int32),
         jnp.zeros((b, 8), jnp.int32), jnp.full((b,), 8, jnp.int32),
         deterministic=True,
+    )
+    variables = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        variables,
     )
     gen = jax.jit(
         lambda v, r: ar_generate(

@@ -77,6 +77,11 @@ def main():
     parser.add_argument("--nar-expdir", default=None)
     parser.add_argument("--nar-config", required=True)
     parser.add_argument("--codec-path", default=None, help="local EnCodec weights")
+    parser.add_argument(
+        "--dtype", default="bfloat16", choices=["float32", "bfloat16"],
+        help="compute dtype for the LM (bf16: 1.25x decode, f32 logits for "
+        "sampling either way)",
+    )
     parser.add_argument("--outdir", required=True)
     parser.add_argument("--max-steps", type=int, default=1000)
     parser.add_argument("--verbose", type=int, default=1)
@@ -93,12 +98,23 @@ def main():
     with open(args.token_list, encoding="utf-8") as f:
         n_vocab = len([l for l in f if l.strip()])
 
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+
     def build(cls, config, ckpt, expdir):
         mp = dict(config["model_params"])
         mp["idim"] = n_vocab
+        mp.setdefault("dtype", dtype)
         model = cls(**mp)
         restored = restore_checkpoint(ckpt or find_latest_checkpoint(expdir))
-        return model, {"params": restored["params"]}
+        params = restored["params"]
+        if dtype == jnp.bfloat16:
+            # bf16 params halve HBM reads in the bandwidth-bound KV decode
+            params = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if hasattr(x, "dtype") and x.dtype == np.float32 else x,
+                params,
+            )
+        return model, {"params": params}
 
     ar_model, ar_vars = build(VALLEAR, ar_config, args.ar_checkpoint, args.ar_expdir)
     nar_model, nar_vars = build(VALLENAR, nar_config, args.nar_checkpoint, args.nar_expdir)

@@ -146,11 +146,14 @@ class VALLEBase(nn.Module):
             VALLEBlock(
                 self.d_model, self.n_heads, self.p_dropout, self.causal,
                 self.norm_type, self.n_resp_levels,
-                attn_backend=self.attn_backend, name=f"blocks_{i}",
+                attn_backend=self.attn_backend, dtype=self.dtype,
+                name=f"blocks_{i}",
             )
             for i in range(self.n_layers)
         ]
-        self.classifier = nn.Dense(self.n_resp_tokens, name="classifier")
+        self.classifier = nn.Dense(
+            self.n_resp_tokens, dtype=self.dtype, name="classifier"
+        )
 
     def _multi_embed(self, weight, codes, n_active):
         """Sum embeddings over the first ``n_active[b]`` RVQ levels
@@ -199,7 +202,9 @@ class VALLEBase(nn.Module):
                 )
             else:
                 x = block(x, m, quant_levels, deterministic=deterministic)
-        return (self.classifier(x) * m)[:, :s_orig], total
+        # f32 logits regardless of compute dtype (loss/sampling stability)
+        logits = (self.classifier(x) * m).astype(jnp.float32)
+        return logits[:, :s_orig], total
 
 
 class VALLEAR(VALLEBase):
@@ -289,7 +294,7 @@ class VALLEAR(VALLEBase):
             caches_k.append(jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0))))
             caches_v.append(jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0))))
             h = block(h, m, None, deterministic=True)
-        logits_prefix = self.classifier(h)
+        logits_prefix = self.classifier(h).astype(jnp.float32)
         idx = (prefix_len - 1)[:, None, None]
         last = jnp.take_along_axis(
             logits_prefix, jnp.broadcast_to(idx, (b, 1, logits_prefix.shape[-1])), axis=1
@@ -311,7 +316,7 @@ class VALLEAR(VALLEBase):
             h, k_i, v_i = block.decode_step(h, caches_k[i], caches_v[i], pos)
             new_ck.append(k_i)
             new_cv.append(v_i)
-        logits = self.classifier(h)[:, 0, :]
+        logits = self.classifier(h)[:, 0, :].astype(jnp.float32)
         return logits, tuple(new_ck), tuple(new_cv)
 
 

@@ -10,7 +10,7 @@ step attends to a cache.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
@@ -73,10 +73,13 @@ class VALLEAttention(nn.Module):
     n_heads: int
     causal: bool
     attn_backend: str = "xla"  # 'flash' = fused Pallas attention on TPU
+    dtype: Any = jnp.float32
 
     def setup(self):
-        self.to_qkv = nn.Dense(self.d_model * 3, use_bias=False, name="to_qkv")
-        self.to_out = nn.Dense(self.d_model, name="to_out")
+        self.to_qkv = nn.Dense(
+            self.d_model * 3, use_bias=False, dtype=self.dtype, name="to_qkv"
+        )
+        self.to_out = nn.Dense(self.d_model, dtype=self.dtype, name="to_out")
 
     def _split(self, x):
         b, t, _ = x.shape
@@ -148,11 +151,12 @@ class VALLEBlock(nn.Module):
     norm_type: str  # "ln" | "adaln"
     n_levels: Optional[int] = None
     attn_backend: str = "xla"
+    dtype: Any = jnp.float32
 
     def setup(self):
         self.attn = VALLEAttention(
             self.d_model, self.n_heads, self.causal,
-            attn_backend=self.attn_backend, name="attn",
+            attn_backend=self.attn_backend, dtype=self.dtype, name="attn",
         )
         if self.norm_type == "adaln":
             self.norm_attn = AdaLN(self.d_model, self.n_levels, name="norm_attn")
@@ -160,8 +164,8 @@ class VALLEBlock(nn.Module):
         else:
             self.norm_attn = nn.LayerNorm(epsilon=1e-5, name="norm_attn")
             self.norm_ffn = nn.LayerNorm(epsilon=1e-5, name="norm_ffn")
-        self.ffn_in = nn.Dense(self.d_model * 4, name="ffn_in")
-        self.ffn_out = nn.Dense(self.d_model, name="ffn_out")
+        self.ffn_in = nn.Dense(self.d_model * 4, dtype=self.dtype, name="ffn_in")
+        self.ffn_out = nn.Dense(self.d_model, dtype=self.dtype, name="ffn_out")
         self.drop = nn.Dropout(self.p_dropout)
 
     def _norm(self, norm, x, level):

@@ -124,3 +124,34 @@ def test_valle_attn_backend_flash_cpu_fallback():
         np.asarray(ox["logits"]), np.asarray(of["logits"]), rtol=1e-5, atol=1e-5
     )
     np.testing.assert_allclose(float(ox["loss"]), float(of["loss"]), rtol=1e-6)
+
+
+def test_valle_bf16_compute_dtype():
+    """dtype=bfloat16 threads through the blocks (bf16 KV caches halve
+    decode bandwidth); logits come back f32 for loss/sampling stability."""
+    import jax
+    import jax.numpy as jnp
+
+    from jatts_tpu.models.valle import VALLEAR, ar_generate
+
+    b, tx, tp = 2, 8, 12
+    rng = np.random.default_rng(0)
+    text = jnp.asarray(rng.integers(0, 40, (b, tx)).astype(np.int32))
+    text_lens = jnp.asarray([8, 6])
+    proms = jnp.asarray(rng.integers(0, 40, (b, tp, 8)).astype(np.int32))
+    prom_lens = jnp.asarray([12, 9])
+    resps = jnp.asarray(rng.integers(0, 40, (b, 10)).astype(np.int32))
+    resp_lens = jnp.asarray([10, 7])
+
+    m = VALLEAR(idim=0, n_tokens=40, d_model=32, n_heads=2, n_layers=2,
+                p_dropout=0.0, dtype=jnp.bfloat16)
+    v = m.init({"params": jax.random.key(0), "dropout": jax.random.key(1)},
+               text, text_lens, proms, prom_lens, resps, resp_lens,
+               deterministic=True)
+    out = m.apply(v, text, text_lens, proms, prom_lens, resps, resp_lens,
+                  deterministic=True)
+    assert out["logits"].dtype == jnp.float32
+    assert np.isfinite(float(out["loss"]))
+    gen = ar_generate(m, v, jax.random.key(2), text, text_lens, proms,
+                      prom_lens, max_steps=6)
+    assert np.asarray(gen["codes"]).shape[1] == 6

@@ -47,3 +47,42 @@ def test_dio_extractor_token_average():
     assert lf0.shape == (2,)
     np.testing.assert_allclose(np.exp(lf0[0]), 150, rtol=0.05)
     np.testing.assert_allclose(np.exp(lf0[1]), 150, rtol=0.05)
+
+
+def test_f0_glottal_pulse_train_with_vibrato():
+    """Speech-like signal (impulse train through a 2-formant resonator, f0
+    gliding 120->180 Hz with vibrato): the NCCF tracker must follow the true
+    contour within ~5% on voiced frames. This quantifies the divergence risk
+    of using NCCF instead of the reference's DIO on realistic (non-sinusoid)
+    excitation — pyworld is absent in-image, so the contract is accuracy
+    against ground truth rather than DIO output."""
+    import scipy.signal
+
+    sr, hop = 24000, 300
+    dur = 1.0
+    n = int(sr * dur)
+    t = np.arange(n) / sr
+    f0_true_t = 120.0 + 60.0 * t + 4.0 * np.sin(2 * np.pi * 5.0 * t)
+    phase = 2 * np.pi * np.cumsum(f0_true_t) / sr
+    # glottal-ish excitation: rectified + sharpened periodic pulses
+    exc = np.maximum(0.0, np.sin(phase)) ** 8
+    # two formant resonators (500 Hz, 1500 Hz)
+    sig = exc
+    for fc, bw in ((500.0, 80.0), (1500.0, 120.0)):
+        r = np.exp(-np.pi * bw / sr)
+        theta = 2 * np.pi * fc / sr
+        b0 = np.array([1.0], np.float64)
+        a = np.array([1.0, -2 * r * np.cos(theta), r * r], np.float64)
+        sig = scipy.signal.lfilter(b0, a, sig)
+    sig = (sig / np.abs(sig).max() * 0.5).astype(np.float32)
+
+    f0 = np.asarray(estimate_f0(jnp.asarray(sig), sr, hop, f0min=70, f0max=400))
+    centers = np.arange(len(f0)) * hop / sr
+    f0_true = 120.0 + 60.0 * centers + 4.0 * np.sin(2 * np.pi * 5.0 * centers)
+    sel = (centers > 0.05) & (centers < dur - 0.05)
+    voiced = sel & (f0 > 0)
+    assert voiced.sum() > 0.8 * sel.sum(), "tracker lost voicing"
+    rel_err = np.abs(f0[voiced] - f0_true[voiced]) / f0_true[voiced]
+    # median within 3%, and few gross octave errors
+    assert np.median(rel_err) < 0.03, np.median(rel_err)
+    assert (rel_err > 0.2).mean() < 0.1, (rel_err > 0.2).mean()
