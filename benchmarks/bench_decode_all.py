@@ -1,0 +1,119 @@
+#!/usr/bin/env python3
+"""Batched inference RTF for the non-FS2 mel families: MatchaTTS (ODE
+decoder, n_timesteps Euler steps) and mel-VITS — the driver bench covers
+FS2+HiFi-GAN and VALL-E.
+
+Host-fetch barriers; iterations chained by data dependency (see CLAUDE.md).
+
+Measured v5e-1 (bf16 Matcha, B=8 x 1024 frames): ODE-32 RTF 0.00064
+(125k mel-frames/s). The relay intermittently 413s the VITS compile and
+was unstable for ODE-10 during measurement — failures are isolated and
+reported per-benchmark.
+"""
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+SR, HOP = 24000, 300
+
+
+def _bench(label, infer, feed, b, t_feats, n=5):
+    out = infer(feed)
+    base = float(out.sum())
+    assert np.isfinite(base), f"{label}: non-finite output"
+    import jax.numpy as jnp
+
+    t0 = time.perf_counter()
+    acc = jnp.zeros((), jnp.float32)
+    for _ in range(n):
+        out = infer(feed + (acc * 0.0).astype(feed.dtype))
+        acc = out.sum() * jnp.float32(1e-12)
+    float(acc)
+    dt = (time.perf_counter() - t0) / n
+    rtf = dt / (b * t_feats * HOP / SR)
+    print(f"{label}: RTF {rtf:.5f} ({b * t_feats / dt / 1e3:.0f}k mel-frames/s)")
+    return rtf
+
+
+def bench_matcha(n_timesteps=10):
+    import jax
+    import jax.numpy as jnp
+
+    from jatts_tpu.models.matchatts import MatchaTTS
+
+    b, t_text, t_feats = 8, 128, 1024
+    model = MatchaTTS(idim=64, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    xs = jnp.asarray(rng.integers(1, 64, (b, t_text)).astype(np.int32))
+    ilens = jnp.full((b,), t_text, jnp.int32)
+    ds = jnp.asarray(np.full((b, t_text), t_feats // t_text, np.int32))
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1),
+         "noise": jax.random.key(2)},
+        xs, ilens, jnp.zeros((b, t_feats, 80), jnp.float32),
+        jnp.full((b,), t_feats, jnp.int32), ds, deterministic=False,
+    )
+
+    @jax.jit
+    def infer(xs):
+        out = model.apply(
+            variables, xs, ilens, t_feats, method=type(model).inference,
+            rngs={"noise": jax.random.key(9)}, n_timesteps=n_timesteps,
+        )
+        return out["feat_gen"].astype(jnp.float32)
+
+    return _bench(f"matcha ODE-{n_timesteps}", infer, xs, b, t_feats)
+
+
+def bench_vits():
+    import jax
+    import jax.numpy as jnp
+
+    from jatts_tpu.models.vits import VITS
+
+    b, t_text, t_feats = 8, 128, 1024
+    model = VITS(idim=64)
+    rng = np.random.default_rng(0)
+    xs = jnp.asarray(rng.integers(1, 64, (b, t_text)).astype(np.int32))
+    ilens = jnp.full((b,), t_text, jnp.int32)
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1),
+         "noise": jax.random.key(2)},
+        xs, ilens, jnp.zeros((b, t_feats, 80), jnp.float32),
+        jnp.full((b,), t_feats, jnp.int32), deterministic=False,
+    )
+
+    @jax.jit
+    def infer(xs):
+        out = model.apply(
+            variables, xs, ilens, t_feats, method=type(model).inference,
+            rngs={"noise": jax.random.key(9)},
+        )
+        return out["feat_gen"].astype(jnp.float32)
+
+    return _bench("vits", infer, xs, b, t_feats)
+
+
+def main():
+    import os
+
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.expanduser("~/.cache/jatts_tpu/xla"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    for fn in (lambda: bench_matcha(10), lambda: bench_matcha(32), bench_vits):
+        try:
+            fn()
+        except Exception as e:  # noqa: BLE001 — relay 413 / compile flakes
+            print(f"# failed: {str(e)[:140]}")
+
+
+if __name__ == "__main__":
+    main()
