@@ -6,9 +6,11 @@ FS2+HiFi-GAN and VALL-E.
 Host-fetch barriers; iterations chained by data dependency (see CLAUDE.md).
 
 Measured v5e-1 (bf16 Matcha, B=8 x 1024 frames): ODE-32 RTF 0.00064
-(125k mel-frames/s). The relay intermittently 413s the VITS compile and
-was unstable for ODE-10 during measurement — failures are isolated and
-reported per-benchmark.
+(125k mel-frames/s). Caveats from the measurement session: the compile
+relay intermittently 413s / drops large programs (VITS, full E2-TTS), and
+ODE-10 reproducibly measured ~2.3 s/call through the tunnel — inconsistent
+with ODE-32 and suspected tunnel-infrastructure pathology rather than a
+program property; failures are isolated and reported per-benchmark.
 """
 
 import sys
@@ -117,3 +119,37 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def bench_e2tts(steps=32, dim=1024, depth=24, heads=16):
+    """E2-TTS NFE-32 inference (flash attention default; full-size UNetT).
+    May 413 on the compile relay — isolated by main()."""
+    import jax
+    import jax.numpy as jnp
+
+    from jatts_tpu.models.e2tts import E2TTS
+
+    b, t_max, nt = 4, 1024, 96
+    model = E2TTS(idim=64, odim=80, dim=dim, depth=depth, heads=heads)
+    rng = np.random.default_rng(0)
+    cond = jnp.asarray(rng.normal(size=(b, t_max, 80)).astype(np.float32))
+    text = jnp.asarray(rng.integers(0, 64, (b, nt)).astype(np.int32))
+    ref_lens = jnp.full((b,), 256, jnp.int32)
+    duration = jnp.full((b,), t_max, jnp.int32)
+    feats = jnp.asarray(rng.normal(size=(b, 128, 80)).astype(np.float32))
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1),
+         "noise": jax.random.key(2)},
+        text, feats, jnp.full((b,), 128, jnp.int32), deterministic=False,
+    )
+
+    @jax.jit
+    def infer(cond):
+        out = model.apply(
+            variables, cond, text, ref_lens, duration,
+            method=type(model).inference, rngs={"noise": jax.random.key(9)},
+            steps=steps, sway_sampling_coef=-1.0,
+        )
+        return out["feat_gen"].astype(jnp.float32)
+
+    return _bench(f"e2tts NFE-{steps} ({depth}L/{dim}d)", infer, cond, b, t_max)

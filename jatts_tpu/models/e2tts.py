@@ -138,11 +138,15 @@ class E2TTS(nn.Module):
         no_drop = jnp.zeros((b,), bool)
         yes_drop = jnp.ones((b,), bool)
 
-        for i in range(steps):
-            t_i = ts[i]
-            dt = ts[i + 1] - ts[i]
+        # lifted lax.scan over Euler steps: ONE UNetT body in the traced
+        # program instead of `steps` copies (steps-times smaller HLO; the
+        # unrolled 24L x 32-step variant was minutes of remote compile)
+        import flax.linen as fnn
+
+        def body(mdl, y, tdt):
+            t_i, dt = tdt
             if cfg_strength < 1e-5:
-                pred = self.net(
+                pred = mdl.net(
                     y, step_cond, text, jnp.full((b,), t_i), no_drop, no_drop,
                     mask, deterministic=True,
                 )
@@ -153,13 +157,22 @@ class E2TTS(nn.Module):
                 tx2 = jnp.concatenate([text, text], axis=0)
                 m2 = jnp.concatenate([mask, mask], axis=0)
                 da = jnp.concatenate([no_drop, yes_drop], axis=0)
-                out = self.net(
+                out = mdl.net(
                     y2, sc2, tx2, jnp.full((2 * b,), t_i), da, da, m2,
                     deterministic=True,
                 )
                 pred, null_pred = out[:b], out[b:]
                 pred = pred + (pred - null_pred) * cfg_strength
-            y = y + dt * pred
+            return y + dt * pred, None
+
+        scan = fnn.scan(
+            body,
+            variable_broadcast="params",
+            split_rngs={"params": False, "dropout": False, "noise": False},
+            in_axes=0,
+            out_axes=0,
+        )
+        y, _ = scan(self, y, (ts[:-1], ts[1:] - ts[:-1]))
 
         out = jnp.where(cond_mask, cond, y)
         out = out * mask[..., None]

@@ -80,15 +80,25 @@ class CFM(nn.Module):
             z = jax.random.normal(rng, mu.shape, dtype=mu.dtype) * temperature
         t_span = jnp.linspace(0.0, 1.0, n_timesteps + 1)
 
-        # statically unrolled fixed-step Euler: n_timesteps is a compile-time
-        # constant, and unrolling lets XLA pipeline the estimator calls
-        # (flax modules cannot be called under lax.scan without lifting).
-        x = z
-        for i in range(n_timesteps):
-            t = t_span[i]
-            dt = t_span[i + 1] - t_span[i]
-            dphi = self.estimator(
+        # lifted lax.scan over Euler steps (nn.scan broadcasts params):
+        # the traced program contains ONE estimator body instead of
+        # n_timesteps copies — n_timesteps-times smaller HLO, much faster
+        # (remote-)compilation, no cross-step fusion worth keeping
+        import flax.linen as fnn
+
+        def body(mdl, x, tdt):
+            t, dt = tdt
+            dphi = mdl.estimator(
                 x, mask, mu, jnp.full((x.shape[0],), t), deterministic=True
             )
-            x = x + dt * dphi
+            return x + dt * dphi, None
+
+        scan = fnn.scan(
+            body,
+            variable_broadcast="params",
+            split_rngs={"params": False, "dropout": False, "noise": False},
+            in_axes=0,
+            out_axes=0,
+        )
+        x, _ = scan(self, z, (t_span[:-1], t_span[1:] - t_span[:-1]))
         return x
