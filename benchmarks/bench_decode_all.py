@@ -5,12 +5,12 @@ FS2+HiFi-GAN and VALL-E.
 
 Host-fetch barriers; iterations chained by data dependency (see CLAUDE.md).
 
-Measured v5e-1 (bf16 Matcha, B=8 x 1024 frames): ODE-32 RTF 0.00064
-(125k mel-frames/s). Caveats from the measurement session: the compile
-relay intermittently 413s / drops large programs (VITS, full E2-TTS), and
-ODE-10 reproducibly measured ~2.3 s/call through the tunnel — inconsistent
-with ODE-32 and suspected tunnel-infrastructure pathology rather than a
-program property; failures are isolated and reported per-benchmark.
+Measured v5e-1 (bf16 Matcha, B=8 x 1024 frames): ODE-10 RTF 0.00024
+(333k mel-frames/s), ODE-32 RTF 0.00062 (129k mel-frames/s). Caveats: the
+compile relay intermittently 413s / drops large programs (VITS, full
+E2-TTS did not get a clean compile window), and the first benchmark in a
+process absorbs ~2.3 s/call of tunnel/session ramp-up — root-caused and
+fixed by priming the chained dispatch path untimed in _bench.
 """
 
 import sys
@@ -29,8 +29,17 @@ def _bench(label, infer, feed, b, t_feats, n=5):
     assert np.isfinite(base), f"{label}: non-finite output"
     import jax.numpy as jnp
 
-    t0 = time.perf_counter()
+    # prime the exact chained dispatch path: the first few dispatches of a
+    # process pay seconds of tunnel/session ramp-up that otherwise lands in
+    # whichever benchmark runs first (observed: identical configs measured
+    # 2.3 s/call first-in-process vs 26 ms/call after)
     acc = jnp.zeros((), jnp.float32)
+    for _ in range(3):
+        out = infer(feed + (acc * 0.0).astype(feed.dtype))
+        acc = out.sum() * jnp.float32(1e-12)
+    float(acc)
+
+    t0 = time.perf_counter()
     for _ in range(n):
         out = infer(feed + (acc * 0.0).astype(feed.dtype))
         acc = out.sum() * jnp.float32(1e-12)
