@@ -104,8 +104,12 @@ def _run_config(name, model_kwargs):
     assert np.isfinite(np.asarray(wav)).all(), "non-finite output"
     chk = checksum(wav)
     float(chk)
-    xs_dep = bump(xs, chk)
-    xs_dep.block_until_ready()
+    # prime the chained dispatch path: the first few dispatches of a process
+    # pay seconds of tunnel/session ramp-up (see benchmarks/bench_decode_all)
+    for _ in range(3):
+        wav, _ = tts(variables, voc_vars, bump(xs, chk), ilens)
+        chk = checksum(wav)
+    float(chk)
 
     # each iteration's input depends on the previous iteration's output, so
     # the device must execute them serially; ONE final host fetch bounds all
@@ -206,6 +210,7 @@ def _valle_extra():
         )
     )
     np.asarray(gen(variables, jax.random.key(2))["codes"])  # compile+barrier
+    np.asarray(gen(variables, jax.random.key(100))["codes"])  # prime dispatch
     n = 3
     t0 = time.perf_counter()
     for i in range(n):

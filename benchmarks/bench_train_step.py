@@ -92,9 +92,11 @@ def run(dtype_name: str, k: int = 20, b: int = 32, t_text: int = 128,
             print(f"# cost_analysis unavailable: {str(e)[:120]}")
 
     state = trainer.state
-    # compile + warmup; loss fetch is the completion barrier
-    state, stats = trainer.train_step_scan(state, stacked, trainer.rng, offsets)
-    loss = float(stats["train/loss"])
+    # compile + warmup; loss fetch is the completion barrier. Two warmup
+    # dispatches: the first dispatches of a process pay tunnel ramp-up.
+    for _ in range(2):
+        state, stats = trainer.train_step_scan(state, stacked, trainer.rng, offsets)
+        loss = float(stats["train/loss"])
     assert np.isfinite(loss), "non-finite training loss"
 
     n_rep = 3
