@@ -22,6 +22,13 @@ def bench(fn, lp, tl, fl, n=10):
 
     out = fn(lp, tl, fl)
     base = float(out.sum())  # compile + barrier
+    # prime the chained path (first-in-process dispatches pay tunnel
+    # ramp-up — see bench_decode_all.py)
+    acc0 = 0
+    for _ in range(3):
+        out = fn(lp + (acc0 * 0.0), tl, fl)
+        acc0 = out.sum() * jnp.float32(1e-12)
+    float(acc0)
     t0 = time.perf_counter()
     acc = 0
     for _ in range(n):
