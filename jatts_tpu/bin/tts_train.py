@@ -141,7 +141,14 @@ def main():
 
     from jatts_tpu.parallel.mesh import get_mesh
 
-    mesh = get_mesh()
+    # config `mesh: {model: M}` -> dp x tp mesh; Trainer Megatron-shards the
+    # large kernels over 'model' (parallel/mesh.py:shard_params_tp). The
+    # reference has no tensor parallelism at all (SURVEY.md §2.9).
+    mesh_cfg = config.get("mesh") or {}
+    mesh = get_mesh(n_model=int(mesh_cfg.get("model", 1)))
+    logging.info(
+        f"mesh: data={mesh.shape['data']} model={mesh.shape['model']}"
+    )
 
     eval_hook = None
     if config["model_type"] in ("FastSpeech2", "MatchaTTS", "MatchaTTS_MAS", "VITS"):

@@ -211,6 +211,8 @@ class VALLEAR(VALLEBase):
     causal: bool = True
     use_stop_token: bool = True
     norm_type: str = "ln"
+    # AR trains/decodes on codec level 0 only (reference valle_ar.py:17-19)
+    n_resp_levels: int = 1
 
     def __call__(
         self,
@@ -436,7 +438,9 @@ class VALLENAR(VALLEBase):
             lx = text_lens[:, None]
             lp = prom_lens[:, None]
             start = lx + lp + 2
-            pos = jnp.arange(tr)[None, :] + start  # [B, Tr]
+            # clamp: for long text+prompt, start+tr can exceed the packed
+            # length S — take_along_axis is silently out-of-bounds under jit
+            pos = jnp.clip(jnp.arange(tr)[None, :] + start, 0, s - 1)  # [B, Tr]
             resp_logits = jnp.take_along_axis(
                 logits, pos[..., None].repeat(logits.shape[-1], -1), axis=1
             )

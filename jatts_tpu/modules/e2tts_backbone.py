@@ -203,7 +203,10 @@ class UNetT(nn.Module):
         h = nn.Dense(self.dim, name="input_proj")(
             jnp.concatenate([x, cond, text_embed], axis=-1)
         )
-        h = ConvPositionEmbedding(self.dim, name="conv_pos_embed")(h, mask) + h
+        # reference InputEmbedding runs ConvPositionEmbedding WITHOUT the
+        # mask (unett.py:109) — padded frames hold noise, and the conv sees
+        # them near utterance boundaries; keep identical for import parity
+        h = ConvPositionEmbedding(self.dim, name="conv_pos_embed")(h, None) + h
 
         # prepend the time token
         h = jnp.concatenate([t[:, None, :], h], axis=1)  # [B, N+1, dim]

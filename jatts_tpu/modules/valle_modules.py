@@ -32,11 +32,9 @@ class SinusoidalEmbedding(nn.Module):
             -jnp.log(10000.0) * jnp.arange(half, dtype=jnp.float32) / half
         )
         ang = positions.astype(jnp.float32)[..., None] * omega
-        # reference interleaves sin/cos over pairs: e[..., 0::2]=sin, 1::2=cos
-        out = jnp.zeros((*positions.shape, d), jnp.float32)
-        out = out.at[..., 0::2].set(jnp.sin(ang))
-        out = out.at[..., 1::2].set(jnp.cos(ang))
-        return out
+        # reference concatenates halves: [sin(ang) | cos(ang)]
+        # (valle/modules.py:71, torch.cat([x.sin(), x.cos()], dim=-1))
+        return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         pos = jnp.arange(x.shape[1])

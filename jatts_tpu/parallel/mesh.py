@@ -118,7 +118,10 @@ def pad_batch_to_devices(batch: Dict[str, Any], n: int) -> Dict[str, Any]:
     for k, v in batch.items():
         if isinstance(v, np.ndarray):
             reps = np.repeat(v[-1:], pad, axis=0)
-            if k in ("ilens", "olens"):
+            # Zero every length key (ilens/olens/text_lens/prom_lens/
+            # resp_lens/...) so the repeated rows are fully masked out of
+            # every model's loss, not just FastSpeech2's.
+            if k.endswith("lens"):
                 reps = np.zeros_like(reps)
             out[k] = np.concatenate([v, reps], axis=0)
         elif isinstance(v, list):

@@ -136,10 +136,21 @@ class Trainer:
             else None,
         )
         if self.mesh is not None:
-            from jatts_tpu.parallel.mesh import replicated
-
-            self.state = jax.device_put(self.state, replicated(self.mesh))
+            self.state = self._shard_state(self.state)
         return self.state
+
+    def _shard_state(self, state: TrainState) -> TrainState:
+        """Place the train state on the mesh: replicated on a pure-dp mesh;
+        on a dp x tp mesh (config ``mesh: {model: M}`` -> get_mesh(n_model=M))
+        large kernels are Megatron-sharded over 'model' via the same
+        size-based rule for params, optimizer moments, and EMA (their leaves
+        share shapes, so the shardings stay consistent and XLA/GSPMD inserts
+        the collectives inside the jitted step)."""
+        from jatts_tpu.parallel.mesh import replicated, shard_params_tp
+
+        if self.mesh.shape.get("model", 1) > 1:
+            return shard_params_tp(state, self.mesh)
+        return jax.device_put(state, replicated(self.mesh))
 
     def _init_variables(self, rng, batch):
         if self.kwargs_fn is not None:
@@ -449,8 +460,25 @@ class Trainer:
             path = find_latest_checkpoint(self.outdir)
             if path is None:
                 raise FileNotFoundError(f"no checkpoint under {self.outdir}")
-        restored = restore_checkpoint(path)
         assert self.state is not None, "call init_state before load_checkpoint"
+        if load_only_params:
+            # raw restore: params/batch_stats work as plain dicts, and
+            # imported/pretrain checkpoints may carry different tree shapes
+            restored = restore_checkpoint(path)
+        else:
+            # full resume MUST restore with a template: a templateless orbax
+            # restore returns plain dicts, silently destroying the optax
+            # NamedTuple structure of opt_state (the next tx.update crashes)
+            template = {
+                "params": jax.device_get(self.state.params),
+                "batch_stats": jax.device_get(self.state.batch_stats),
+                "opt_state": jax.device_get(self.state.opt_state),
+                "steps": 0,
+                "epochs": 0,
+            }
+            if self.state.ema_params is not None:
+                template["ema_params"] = jax.device_get(self.state.ema_params)
+            restored = restore_checkpoint(path, template)
         ema = restored.get("ema_params", self.state.ema_params)
         if load_only_params:
             self.state = self.state.replace(
@@ -468,7 +496,5 @@ class Trainer:
             self.steps = int(restored["steps"])
             self.epochs = int(restored.get("epochs", 0))
         if self.mesh is not None:
-            from jatts_tpu.parallel.mesh import replicated
-
-            self.state = jax.device_put(self.state, replicated(self.mesh))
+            self.state = self._shard_state(self.state)
         logging.info(f"loaded checkpoint from {path} (steps={self.steps})")

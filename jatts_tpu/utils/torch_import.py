@@ -410,6 +410,124 @@ def convert_vits(sd: Dict[str, np.ndarray], model) -> Dict[str, Any]:
     return variables
 
 
+def convert_valle(sd: Dict[str, np.ndarray], model) -> Dict[str, Any]:
+    """reference jatts/models/valle_{ar,nar}.py state_dict -> flax variables.
+
+    Reference layout (valle_base.py:81-103, valle/modules.py:96-239):
+    text_emb(Embedding) / proms_emb.weight / resps_emb.weight (MultiEmbedding
+    raw [L, n_tokens, D] params) / sep / blocks.N.{attn,ffn} PrenormResiduals
+    / classifier. AR blocks use LayerNorm, NAR blocks use AdaLN (level
+    embedding, valle/modules.py:140-162). The attention blocks are wrapped in
+    torch checkpoint_wrapper (modules.py:212) whose state_dict prefix is
+    normalized away here for robustness across torch versions.
+    """
+    sd = {k.replace("_checkpoint_wrapped_module.", ""): v for k, v in sd.items()}
+    params: Dict[str, Any] = {
+        "text_emb": t_embed(sd, "text_emb"),
+        "proms_emb": sd["proms_emb.weight"],
+        "resps_emb": sd["resps_emb.weight"],
+        "sep": sd["sep"],
+        "classifier": t_linear(sd, "classifier"),
+    }
+
+    def norm_params(prefix):
+        if f"{prefix}.emb.weight" in sd:  # AdaLN
+            return {"emb": {"embedding": sd[f"{prefix}.emb.weight"]}}
+        return t_norm(sd, prefix)
+
+    for i in range(model.n_layers):
+        bp = f"blocks.{i}"
+        params[f"blocks_{i}"] = {
+            "norm_attn": norm_params(f"{bp}.attn.norm"),
+            "attn": {
+                "to_qkv": {"kernel": sd[f"{bp}.attn.block.to_qkv.weight"].T},
+                "to_out": t_linear(sd, f"{bp}.attn.block.to_out"),
+            },
+            "norm_ffn": norm_params(f"{bp}.ffn.norm"),
+            "ffn_in": t_linear(sd, f"{bp}.ffn.block.0"),
+            "ffn_out": t_linear(sd, f"{bp}.ffn.block.3"),
+        }
+    return {"params": params}
+
+
+def _rms(sd, name):
+    """x_transformers RMSNorm param is 'g'; accept 'gamma'/'weight' variants
+    across library versions."""
+    for suffix in ("g", "gamma", "weight"):
+        if f"{name}.{suffix}" in sd:
+            return {"weight": sd[f"{name}.{suffix}"]}
+    raise KeyError(f"no RMSNorm weight under {name}")
+
+
+def convert_e2tts(sd: Dict[str, np.ndarray], model) -> Dict[str, Any]:
+    """reference jatts/models/e2tts.py (UNetT backbone) state_dict -> flax
+    variables.
+
+    Reference layout (e2tts/unett.py:116-189, e2tts/modules.py): the E2TTS
+    wrapper holds one ``backbone`` UNetT with time_embed (SinusPosEmb + MLP),
+    text_embed (filler-token Embedding), input_embed (proj +
+    ConvPositionEmbedding), depth x [skip_proj?, attn_norm(RMSNorm),
+    attn(to_q/k/v/to_out.0), ff_norm, ff(Sequential proj/out)], norm_out,
+    proj_out. Skip projections exist only for the later-half layers
+    (unett.py:174).
+    """
+    bb: Dict[str, Any] = {
+        "time_embed": {
+            "mlp1": t_linear(sd, "backbone.time_embed.time_mlp.0"),
+            "mlp2": t_linear(sd, "backbone.time_embed.time_mlp.2"),
+        },
+        "text_embed": t_embed(sd, "backbone.text_embed.text_embed"),
+        "input_proj": t_linear(sd, "backbone.input_embed.proj"),
+        "conv_pos_embed": {
+            "conv1": t_conv1d(sd, "backbone.input_embed.conv_pos_embed.conv1d.0"),
+            "conv2": t_conv1d(sd, "backbone.input_embed.conv_pos_embed.conv1d.2"),
+        },
+        "norm_out": _rms(sd, "backbone.norm_out"),
+        "proj_out": t_linear(sd, "backbone.proj_out"),
+    }
+    for i in range(model.depth):
+        lp = f"backbone.layers.{i}"
+        if f"{lp}.0.weight" in sd:  # later-half skip projection
+            bb[f"skip_proj_{i}"] = {"kernel": sd[f"{lp}.0.weight"].T}
+        bb[f"attn_norm_{i}"] = _rms(sd, f"{lp}.1")
+        bb[f"attn_{i}"] = {
+            "to_q": t_linear(sd, f"{lp}.2.to_q"),
+            "to_k": t_linear(sd, f"{lp}.2.to_k"),
+            "to_v": t_linear(sd, f"{lp}.2.to_v"),
+            "to_out": t_linear(sd, f"{lp}.2.to_out.0"),
+        }
+        bb[f"ff_norm_{i}"] = _rms(sd, f"{lp}.3")
+        bb[f"ff_{i}"] = {
+            "proj_in": t_linear(sd, f"{lp}.4.ff.0.0"),
+            "proj_out": t_linear(sd, f"{lp}.4.ff.2"),
+        }
+    return {"params": {"backbone": bb}}
+
+
+def load_reference_e2tts_state(path: str, use_ema: bool = True) -> Dict[str, np.ndarray]:
+    """Load a reference E2-TTS checkpoint's state_dict.
+
+    Reference format (trainers/e2tts.py:155-210): full checkpoints carry
+    ``model_state_dict`` + ``ema_model_state_dict`` + ``update``; EMA-only
+    checkpoints carry just ``ema_model_state_dict`` with ``ema_model.``
+    key prefixes and EMA bookkeeping keys (initted/update/step). Decode
+    uses the EMA weights (bin/e2tts_decode.py:144-150).
+    """
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if use_ema or "update" not in ckpt:
+        ema = ckpt["ema_model_state_dict"]
+        sd = {
+            k.replace("ema_model.", ""): v
+            for k, v in ema.items()
+            if k not in ("initted", "update", "step")
+        }
+    else:
+        sd = ckpt["model_state_dict"]
+    return {k: v.detach().cpu().numpy() for k, v in sd.items()}
+
+
 def load_reference_checkpoint(path: str) -> Dict[str, np.ndarray]:
     """Load a reference .pkl training checkpoint's model state_dict."""
     import torch

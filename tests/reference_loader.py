@@ -106,12 +106,54 @@ def _install_stubs() -> None:
     _ensure_stub("diffusers.models.lora", {"LoRACompatibleLinear": torch.nn.Linear})
     _ensure_stub("diffusers.utils.torch_utils", {"maybe_allow_in_graph": lambda x: x})
 
-    # e2tts / valle import chains (never exercised in these parity tests,
-    # but pulled in by the jatts.models star-import):
-    _ensure_stub("x_transformers", {"RMSNorm": _Unbuildable})
+    # x_transformers is absent from the image but the reference UNetT uses
+    # three small pieces of it (RMSNorm, RotaryEmbedding,
+    # apply_rotary_pos_emb). These are faithful reimplementations of the
+    # public library (lucidrains/x-transformers >= 1.31, the version range
+    # F5-TTS — the reference's stated lineage, unett.py:9 — depends on):
+    # RMSNorm = l2-normalize * sqrt(d) * g; rotary uses the
+    # interleaved-pair convention (freqs duplicated per pair via
+    # stack+flatten, rotate_half swaps within pairs).
+    class _XTRMSNorm(torch.nn.Module):
+        def __init__(self, dim):
+            super().__init__()
+            self.scale = dim**0.5
+            self.g = torch.nn.Parameter(torch.ones(dim))
+
+        def forward(self, x):
+            return torch.nn.functional.normalize(x, dim=-1) * self.scale * self.g
+
+    def _rotate_half(x):
+        x = x.unflatten(-1, (-1, 2))
+        x1, x2 = x.unbind(dim=-1)
+        return torch.stack((-x2, x1), dim=-1).flatten(-2)
+
+    def _apply_rotary_pos_emb(t, freqs, scale=1):
+        rot_dim, seq_len, orig_dtype = freqs.shape[-1], t.shape[-2], t.dtype
+        freqs = freqs[-seq_len:, :]
+        t, t_unrotated = t[..., :rot_dim], t[..., rot_dim:]
+        t = (t * freqs.cos() * scale) + (_rotate_half(t) * freqs.sin() * scale)
+        return torch.cat((t, t_unrotated), dim=-1).type(orig_dtype)
+
+    class _XTRotaryEmbedding(torch.nn.Module):
+        def __init__(self, dim, base=10000.0):
+            super().__init__()
+            inv_freq = 1.0 / (base ** (torch.arange(0, dim, 2).float() / dim))
+            self.register_buffer("inv_freq", inv_freq, persistent=False)
+
+        def forward_from_seq_len(self, seq_len):
+            t = torch.arange(seq_len, device=self.inv_freq.device)
+            freqs = torch.einsum("i,j->ij", t.type_as(self.inv_freq), self.inv_freq)
+            freqs = torch.stack((freqs, freqs), dim=-1).flatten(-2)
+            return freqs, 1.0
+
+    _ensure_stub("x_transformers", {"RMSNorm": _XTRMSNorm})
     _ensure_stub(
         "x_transformers.x_transformers",
-        {"RotaryEmbedding": _Unbuildable, "apply_rotary_pos_emb": None},
+        {
+            "RotaryEmbedding": _XTRotaryEmbedding,
+            "apply_rotary_pos_emb": _apply_rotary_pos_emb,
+        },
     )
     _ensure_stub("torchdiffeq", {"odeint": None})
     _ensure_stub("torchaudio", {})

@@ -131,3 +131,178 @@ def test_import_checkpoint_cli_roundtrip(tmp_path, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(out["before_outs"]), before_t.numpy(), rtol=2e-3, atol=2e-4
     )
+
+
+def _run_import_cli(monkeypatch, pkl, cfg_path, tokens, outdir, extra=()):
+    from jatts_tpu.bin import import_checkpoint
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["import_checkpoint.py", "--checkpoint", str(pkl),
+         "--config", str(cfg_path), "--token-list", str(tokens),
+         "--out", str(outdir), *extra],
+    )
+    import_checkpoint.main()
+
+    from jatts_tpu.utils.checkpoint import (
+        find_latest_checkpoint,
+        restore_checkpoint,
+    )
+
+    ckpt = find_latest_checkpoint(str(outdir))
+    assert ckpt is not None
+    return restore_checkpoint(ckpt)
+
+
+def test_import_checkpoint_cli_e2tts_ema(tmp_path, monkeypatch):
+    """Reference E2-TTS checkpoint format (trainers/e2tts.py:155-173:
+    model_state_dict + ema_model_state_dict w/ 'ema_model.' prefixes +
+    update) -> CLI -> restored params reproduce the torch EMA backbone."""
+    re2 = load_reference("models.e2tts")
+    torch.manual_seed(3)
+    tmodel = re2.E2TTS(
+        idim=16, odim=8, backbone="UNetT", dim=32, depth=4, heads=2,
+        ff_mult=2,
+    ).eval()
+    # an EMA copy with genuinely different weights, so the test fails if the
+    # importer silently picks the raw model weights
+    torch.manual_seed(4)
+    ema_model = re2.E2TTS(
+        idim=16, odim=8, backbone="UNetT", dim=32, depth=4, heads=2,
+        ff_mult=2,
+    ).eval()
+    pkl = tmp_path / "checkpoint-1000steps.pkl"
+    torch.save(
+        {
+            "model_state_dict": tmodel.state_dict(),
+            "ema_model_state_dict": {
+                "initted": torch.tensor(True), "step": torch.tensor(1000),
+                **{f"ema_model.{k}": v for k, v in ema_model.state_dict().items()},
+            },
+            "optimizer_state_dict": {}, "scheduler_state_dict": {},
+            "update": 1000,
+        },
+        str(pkl),
+    )
+    config = {
+        "model_type": "E2TTS",
+        "model_params": dict(odim=8, backbone="UNetT", dim=32, depth=4,
+                             heads=2, ff_mult=2),
+    }
+    cfg_path = tmp_path / "config.yml"
+    cfg_path.write_text(yaml.safe_dump(config))
+    tokens = tmp_path / "tokens.txt"
+    tokens.write_text("".join(f"tok{i}\n" for i in range(16)))
+
+    state = _run_import_cli(monkeypatch, pkl, cfg_path, tokens, tmp_path / "imp")
+
+    import jax.numpy as jnp
+
+    from jatts_tpu.models import get_model
+
+    model = get_model("E2TTS")(idim=16, attn_backend="xla", **config["model_params"])
+    rng = np.random.default_rng(3)
+    b, n, d = 2, 12, 8
+    x = rng.standard_normal((b, n, d)).astype(np.float32)
+    cond = rng.standard_normal((b, n, d)).astype(np.float32)
+    text = rng.integers(0, 16, (b, 7)).astype(np.int64)
+    time = np.array([0.25, 0.75], np.float32)
+    with torch.no_grad():
+        want = ema_model.backbone(
+            torch.from_numpy(x), torch.from_numpy(cond),
+            torch.from_numpy(text), torch.from_numpy(time),
+            drop_audio_cond=False, drop_text=False,
+        ).numpy()
+    ours = model.apply(
+        {"params": state["params"]},
+        jnp.asarray(x), jnp.asarray(cond), jnp.asarray(text),
+        jnp.asarray(time), jnp.zeros((b,), bool), jnp.zeros((b,), bool), None,
+        deterministic=True, method=lambda m, *a, **k: m.net(*a, **k),
+    )
+    np.testing.assert_allclose(np.asarray(ours), want, atol=2e-3)
+
+
+def test_import_checkpoint_cli_valle(tmp_path, monkeypatch):
+    """Reference VALL-E trainer pkl ({"model": state_dict, ...},
+    trainers/base.py:85-105) -> CLI for both AR and NAR model_types."""
+    rvalle_ar = load_reference("models.valle_ar")
+    rvalle_nar = load_reference("models.valle_nar")
+    import jax.numpy as jnp
+
+    from jatts_tpu.models import get_model
+
+    rng = np.random.default_rng(4)
+    text = [torch.from_numpy(rng.integers(0, 32, (t,)).astype(np.int64)) for t in (6, 4)]
+    proms = [torch.from_numpy(rng.integers(0, 32, (t, 8)).astype(np.int64)) for t in (8, 5)]
+    resps = [torch.from_numpy(rng.integers(0, 32, (t, 8)).astype(np.int64)) for t in (10, 7)]
+
+    def pad(lists, tmax, extra=()):
+        out = np.zeros((len(lists), tmax, *extra), np.int32)
+        for i, v in enumerate(lists):
+            out[i, : len(v)] = v.numpy()
+        return jnp.asarray(out)
+
+    batch = dict(
+        text=pad(text, 6), text_lens=jnp.array([6, 4]),
+        proms=pad(proms, 8, (8,)), prom_lens=jnp.array([8, 5]),
+        resp_lens=jnp.array([10, 7]),
+    )
+
+    for model_type, ref_cls in (
+        ("VALLEAR", rvalle_ar.VALLEAR), ("VALLENAR", rvalle_nar.VALLENAR)
+    ):
+        torch.manual_seed(5)
+        tmodel = ref_cls(
+            idim=0, n_tokens=32, d_model=32, n_heads=2, n_layers=2,
+            p_dropout=0.0,
+        ).eval()
+        pkl = tmp_path / f"ckpt_{model_type}" / "checkpoint-200steps.pkl"
+        pkl.parent.mkdir()
+        torch.save(
+            {"model": tmodel.state_dict(), "optimizer": {}, "scheduler": {},
+             "steps": 200, "epochs": 1},
+            str(pkl),
+        )
+        config = {
+            "model_type": model_type,
+            "model_params": dict(n_tokens=32, d_model=32, n_heads=2,
+                                 n_layers=2, p_dropout=0.0),
+        }
+        cfg_path = tmp_path / f"config_{model_type}.yml"
+        cfg_path.write_text(yaml.safe_dump(config))
+        tokens = tmp_path / "tokens.txt"
+        tokens.write_text("".join(f"tok{i}\n" for i in range(32)))
+
+        state = _run_import_cli(
+            monkeypatch, pkl, cfg_path, tokens, tmp_path / f"imp_{model_type}"
+        )
+        model = get_model(model_type)(
+            idim=32, attn_backend="xla", **config["model_params"]
+        )
+        if model_type == "VALLEAR":
+            with torch.no_grad():
+                _, loss = tmodel(text, proms, [r[:, 0] for r in resps])
+            out = model.apply(
+                {"params": state["params"]},
+                resps=pad([r[:, 0] for r in resps], 10), **batch,
+                deterministic=True,
+            )
+        else:
+            ql = torch.tensor([1, 4])
+            rbase = load_reference("models.valle_base")
+            with torch.no_grad():
+                _, loss = rbase.VALLEBase.forward(
+                    tmodel, text, proms,
+                    [o[..., : int(l) + 1] for o, l in zip(resps, ql)],
+                    [o[..., int(l) + 1] for o, l in zip(resps, ql)],
+                    return_all_resp=True, shift_targ_list=False,
+                    quant_levels=ql,
+                )
+            out = model.apply(
+                {"params": state["params"]},
+                resps=pad(resps, 10, (8,)), quant_levels=jnp.array([1, 4]),
+                **batch, deterministic=True,
+            )
+        np.testing.assert_allclose(
+            float(out["loss"]), float(loss["nll"]), rtol=2e-4
+        )

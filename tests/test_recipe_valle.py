@@ -55,6 +55,10 @@ def _config(model_type, n_resp_levels):
         "feat_list": ["encodec"],
         "out_feat_type": "encodec",
         "prompt_strategy": "given",
+        # AR exercises the CLI dp x tp path (mesh: {model: 2} -> get_mesh);
+        # the tiny kernels stay replicated (below shard_params_tp min_size),
+        # actual sharding is covered by tests/test_train_tp.py
+        **({"mesh": {"model": 2}} if model_type == "VALLEAR" else {}),
         "model_type": model_type,
         "model_params": {
             "n_tokens": 64, "d_model": 32, "n_heads": 2, "n_layers": 2,
