@@ -174,6 +174,34 @@ def _train_extra():
     return {}
 
 
+def _flagship_mfu_extra():
+    """Absolute training MFU for the transformer flagships at recipe sizes
+    (VALL-E AR d1024/12L, E2-TTS UNetT d1024/24L) — XLA-counted FLOPs over
+    wall time vs the 394 TFLOP/s bf16 v5e-1 peak. Full study:
+    benchmarks/bench_train_mfu.py."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from benchmarks.bench_train_mfu import run_e2tts, run_valle
+
+    out = {}
+    try:
+        ms, mfu = run_valle(quiet=True)
+        out["valle_train_ms_per_step"] = round(ms, 1)
+        if mfu is not None:
+            out["valle_train_mfu_vs_394tflops_bf16"] = round(mfu, 4)
+    except Exception as e:  # noqa: BLE001
+        print(f"# valle mfu failed: {str(e)[:160]}", flush=True)
+    try:
+        ms, mfu = run_e2tts(quiet=True)
+        out["e2tts_train_ms_per_step"] = round(ms, 1)
+        if mfu is not None:
+            out["e2tts_train_mfu_vs_394tflops_bf16"] = round(mfu, 4)
+    except Exception as e:  # noqa: BLE001
+        print(f"# e2tts mfu failed: {str(e)[:160]}", flush=True)
+    return out
+
+
 def _valle_extra():
     """VALL-E AR KV-cached scan decode tok/s (the reference re-forwards the
     whole sequence per token — see benchmarks/bench_valle_decode.py)."""
@@ -269,7 +297,7 @@ def main():
             print(f"# config {name} failed: {str(e)[:160]}", flush=True)
             continue
         extra = {}
-        for fn in (_train_extra, _valle_extra, _mas_extra):
+        for fn in (_train_extra, _flagship_mfu_extra, _valle_extra, _mas_extra):
             try:
                 extra.update(fn())
             except Exception as e:  # noqa: BLE001 — extras must never kill

@@ -1,0 +1,106 @@
+#!/usr/bin/env python3
+"""Conformer rel-pos attention: legacy/XLA vs latest/XLA vs latest/FUSED.
+
+Round 2's honest negative result: flash attention LOST for conformer because
+the legacy rel-pos bias still materialized [B,H,T,T] (passed as `ab`) and
+d_head 96 padded to 128 per step. Round 3 adds an exact low-rank
+decomposition of the LATEST rel-pos bias (modules/attention.py:
+relpos_fused_features) so the fused path materializes nothing. The legacy
+variant cannot be decomposed (its rel_shift wraps rows for j>i) and keeps
+the XLA path — it exists for reference-checkpoint parity; new TPU recipes
+should train with `conformer_rel_pos_type: latest` + `attn_backend: flash`.
+
+This script (TPU):
+  1. verifies fused == XLA numerics for the latest variant in eval mode
+     (hardware check of what tests/test_attention_fused_relpos.py pins on CPU)
+  2. times the FS2 train step for all three variants (K steps/dispatch).
+
+Run: python benchmarks/bench_conformer_flash.py
+"""
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def _enable_compile_cache():
+    import os
+
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.expanduser("~/.cache/jatts_tpu/xla")
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def check_numerics(b=4, t=256, n_feat=384, h=4):
+    import jax
+    import jax.numpy as jnp
+
+    from jatts_tpu.modules.attention import RelPositionMultiHeadedAttention
+    from jatts_tpu.modules.positional import RelPositionalEncoding
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((b, t, n_feat)).astype(np.float32))
+    _, pos_emb = RelPositionalEncoding(n_feat, 0.0).apply({}, x, deterministic=True)
+    # unit-scale queries (attention inputs come from LayerNorm in the real
+    # model); the PE module's x*sqrt(d) scaling would push logits to ~1e2
+    # where softmax is a hard argmax and float-order noise flips winners
+    xs = x
+    mask = jnp.asarray(
+        np.arange(t)[None, :] < np.array([t] * (b - 1) + [t - 128])[:, None]
+    )[:, None, :]
+
+    outs = {}
+    for backend in ("xla", "flash"):
+        mod = RelPositionMultiHeadedAttention(
+            n_head=h, n_feat=n_feat, dropout_rate=0.0, attn_backend=backend
+        )
+        variables = mod.init(
+            {"params": jax.random.key(0)}, xs, xs, xs, pos_emb, deterministic=True
+        )
+        outs[backend] = np.asarray(
+            jax.jit(
+                lambda v, q, p, m, _m=mod: _m.apply(v, q, q, q, p, m, deterministic=True)
+            )(variables, xs, pos_emb, mask)
+        )
+    live = np.asarray(mask[:, 0]).astype(bool)
+    err = np.abs(outs["xla"][live] - outs["flash"][live]).max()
+    print(f"fused-vs-xla max abs err (live rows): {err:.3e}")
+    assert err < 2e-3, err
+    return float(err)
+
+
+def bench_train(variant: str, backend: str, k: int = 10):
+    from benchmarks.bench_train_step import run
+
+    kw = dict(
+        conformer_rel_pos_type=variant,
+        attn_backend=backend,
+    )
+    ms, fps, mfu = run(
+        "bf16", k=k, model_kwargs=kw, config_extra={"rng_impl": "rbg"}, quiet=True
+    )
+    mfu_s = f", MFU {mfu * 100:.1f}%" if mfu is not None else ""
+    print(f"{variant}/{backend}: {ms:.1f} ms/step ({fps / 1e3:.0f}k frames/s{mfu_s})")
+    return ms
+
+
+def main():
+    _enable_compile_cache()
+    check_numerics()
+    t_leg = bench_train("legacy", "xla")
+    t_lat = bench_train("latest", "xla")
+    t_fused = bench_train("latest", "flash")
+    print(
+        f"fused speedup: {t_lat / t_fused:.2f}x vs latest/xla, "
+        f"{t_leg / t_fused:.2f}x vs legacy/xla"
+    )
+
+
+if __name__ == "__main__":
+    main()

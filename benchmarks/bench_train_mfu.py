@@ -1,0 +1,142 @@
+#!/usr/bin/env python3
+"""Training-step MFU for the transformer flagships (VALL-E AR, E2-TTS) at
+recipe sizes, plus FastSpeech2 — true device numbers.
+
+Methodology = benchmarks/bench_train_step.py: K optimizer steps per dispatch
+via the trainer's steps_per_execution lax.scan (amortizes the O(100 ms)
+tunnel round trip), device-resident inputs, scalar loss fetch as the
+completion barrier, MFU = XLA cost_analysis FLOPs / wall / v5e-1 peak.
+
+Run: python benchmarks/bench_train_mfu.py            (TPU)
+"""
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+PEAK_FLOPS = {"bf16": 394e12, "f32": 98e12}  # v5e-1 peak (CLAUDE.md)
+
+
+def _run_trainer_bench(model, loss_fn, kwargs_fn, batch, k, dtype_name,
+                       config_extra=None, quiet=False, n_rep=3):
+    import jax
+
+    from jatts_tpu.train.trainer import Trainer
+
+    config = {
+        "train_max_steps": 1, "optimizer_type": "AdamW",
+        "optimizer_params": {"lr": 1e-4}, "grad_norm": 1.0,
+        "scheduler": "warmuplr", "scheduler_params": {"warmup_steps": 4000},
+        "steps_per_execution": k, "rng_impl": "rbg",
+        **(config_extra or {}),
+    }
+    trainer = Trainer(
+        config, model, {}, loss_fn, None, outdir="/tmp/bench_train_mfu",
+        kwargs_fn=kwargs_fn,
+    )
+    trainer.init_state(batch)
+    # the Trainer hands loss fns the RAW batch (kwargs_fn is init-only)
+    stacked = jax.device_put(
+        jax.tree_util.tree_map(
+            lambda x: np.broadcast_to(x, (k,) + x.shape).copy(), batch
+        )
+    )
+    offsets = jax.device_put(np.arange(k, dtype=np.int32))
+
+    flops_per_step = None
+    try:
+        lowered = trainer.train_step_scan.lower(
+            trainer.state, stacked, trainer.rng, offsets
+        )
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        if cost and cost.get("flops"):
+            flops_per_step = float(cost["flops"]) / k
+    except Exception as e:  # noqa: BLE001
+        if not quiet:
+            print(f"# cost_analysis unavailable: {str(e)[:120]}")
+
+    state = trainer.state
+    for _ in range(2):  # compile + tunnel ramp-up priming
+        state, stats = trainer.train_step_scan(state, stacked, trainer.rng, offsets)
+        loss = float(stats["train/loss"])
+    assert np.isfinite(loss), "non-finite training loss"
+
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        state, stats = trainer.train_step_scan(state, stacked, trainer.rng, offsets)
+    loss = float(stats["train/loss"])
+    dt = (time.perf_counter() - t0) / (n_rep * k)
+    assert np.isfinite(loss)
+    mfu = flops_per_step / dt / PEAK_FLOPS[dtype_name] if flops_per_step else None
+    return dt * 1e3, mfu, flops_per_step
+
+
+def run_valle(b=8, tx=64, tp=225, tr=600, k=5, d_model=1024, n_heads=16,
+              n_layers=12, quiet=False):
+    """VALL-E AR at the recipe size (valle_ar.given.bs128.4chips.yaml per-chip
+    slice: d1024/16H/12L, packed seq ~891 -> flash pads to 1024)."""
+    import jax.numpy as jnp
+
+    from jatts_tpu.models.valle import VALLEAR
+    from jatts_tpu.train.steps_valle import valle_kwargs, valle_loss
+
+    model = VALLEAR(idim=0, n_tokens=1024, d_model=d_model, n_heads=n_heads,
+                    n_layers=n_layers, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    batch = {
+        "text": rng.integers(0, 1024, (b, tx)).astype(np.int32),
+        "text_lens": np.full((b,), tx, np.int32),
+        "proms": rng.integers(0, 1024, (b, tp, 8)).astype(np.int32),
+        "prom_lens": np.full((b,), tp, np.int32),
+        "resps": rng.integers(0, 1024, (b, tr)).astype(np.int32),
+        "resp_lens": np.full((b,), tr, np.int32),
+    }
+    ms, mfu, flops = _run_trainer_bench(
+        model, valle_loss, lambda bt, m=None: valle_kwargs(bt, m), batch, k,
+        "bf16", quiet=quiet,
+    )
+    if not quiet:
+        print(f"valle_ar train: {ms:.1f} ms/step, MFU {100 * (mfu or 0):.1f}% "
+              f"({(flops or 0) / 1e9:.0f} GFLOP/step, B={b}, S~{tx + tp + tr + 2})")
+    return ms, mfu
+
+
+def run_e2tts(b=16, n=1024, k=5, dim=1024, depth=24, heads=16, quiet=False):
+    """E2-TTS at the recipe size (e2tts.v1.1gpu.bs17280: frame budget 17280
+    ~= B16 x N1024, UNetT d1024/24L/16H, flash attention default)."""
+    import jax.numpy as jnp
+
+    from jatts_tpu.models.e2tts import E2TTS
+    from jatts_tpu.train.steps_e2tts import e2tts_kwargs, e2tts_loss
+
+    model = E2TTS(idim=64, odim=80, dim=dim, depth=depth, heads=heads,
+                  dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    batch = {
+        "xs": rng.integers(0, 64, (b, 128)).astype(np.int32),
+        "ilens": np.full((b,), 128, np.int32),
+        "ys": rng.normal(size=(b, n, 80)).astype(np.float32),
+        "olens": np.full((b,), n, np.int32),
+    }
+    ms, mfu, flops = _run_trainer_bench(
+        model, e2tts_loss, lambda bt, m=None: e2tts_kwargs(bt, m), batch, k,
+        "bf16", quiet=quiet,
+    )
+    if not quiet:
+        print(f"e2tts train: {ms:.1f} ms/step, MFU {100 * (mfu or 0):.1f}% "
+              f"({(flops or 0) / 1e9:.0f} GFLOP/step, B={b}, N={n})")
+    return ms, mfu
+
+
+def main():
+    run_valle()
+    run_e2tts()
+
+
+if __name__ == "__main__":
+    main()

@@ -155,7 +155,17 @@ def main():
         for j, it in enumerate(chunk):
             mel = feats[j, : olens[j]]
             if vocoder is not None:
-                wav = vocoder.decode(mel, mel_mean, mel_scale)
+                min_frames = int(config.get("fft_size", 2048)) // hop + 1
+                if mel.shape[0] < min_frames:
+                    # degenerate prediction (durations rounded to ~0 —
+                    # possible early in training): emit a short silence
+                    # instead of crashing vocoding on a sub-window signal
+                    logging.warning(
+                        f"{it['utt_id']}: {mel.shape[0]}-frame prediction"
+                    )
+                    wav = np.zeros(hop * 8, np.float32)
+                else:
+                    wav = vocoder.decode(mel, mel_mean, mel_scale)
                 write_audio(
                     os.path.join(args.outdir, "wav", f"{it['utt_id']}.wav"), wav, sr
                 )

@@ -77,7 +77,18 @@ def main():
     if args.multihost:
         import jax
 
-        jax.distributed.initialize()
+        # Cloud TPU pods auto-detect; otherwise rendezvous via env (the
+        # reference's MASTER_ADDR/RANK/WORLD_SIZE analog,
+        # run_e2tts_multinode.sh:169-215): JAX_COORDINATOR_ADDRESS +
+        # JAX_NUM_PROCESSES + JAX_PROCESS_ID.
+        if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+            jax.distributed.initialize(
+                coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
+                num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+                process_id=int(os.environ["JAX_PROCESS_ID"]),
+            )
+        else:
+            jax.distributed.initialize()
 
     config = load_config(args.config)
     config.update(
@@ -107,10 +118,14 @@ def main():
     train_set = TTSDataset(args.train_csv, **ds_kwargs)
     dev_set = TTSDataset(args.dev_csv, **ds_kwargs)
 
-    # per-host data sharding (replaces DistributedSampler)
-    import jax
-
-    proc, nproc = jax.process_index(), jax.process_count()
+    # Multi-host data strategy (replaces the reference's DistributedSampler,
+    # SURVEY.md §5.8): every host builds the IDENTICAL batch schedule (same
+    # csv + same seed), and shard_batch (parallel/mesh.py:_put_global) has
+    # each host contribute its strided row slice of every batch via
+    # make_array_from_process_local_data. Identical schedules guarantee all
+    # hosts dispatch the same program with the same global shapes — per-host
+    # disjoint batch lists (the round-2 design) pad to different bucket
+    # shapes per host and deadlock SPMD collectives.
     lengths = [train_set.get_frame_len(i) for i in range(len(train_set))]
     if config.get("batch_size_per_gpu"):  # frame-budget batching (E2-TTS)
         sampler = DynamicBatchSampler(
@@ -120,13 +135,16 @@ def main():
         )
     else:
         sampler = BatchSampler(lengths, int(config.get("batch_size", 16)), seed=args.seed)
-    if nproc > 1:
-        sampler.batches = sampler.batches[proc::nproc]
 
     collater = COLLATER_REGISTRY[config.get("collater_type", "FastSpeech2Collater")](
         out_feat_type=config.get("out_feat_type", "mel")
     )
-    train_loader = DataLoader(train_set, sampler, collater)
+    # background prefetch overlaps h5 reads/collation with device steps
+    # (the reference's DataLoader num_workers analog)
+    train_loader = DataLoader(
+        train_set, sampler, collater,
+        prefetch=int(config.get("num_prefetch_batches", 2)),
+    )
     dev_lengths = [dev_set.get_frame_len(i) for i in range(len(dev_set))]
     dev_loader = DataLoader(
         dev_set,

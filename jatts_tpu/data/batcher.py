@@ -237,16 +237,55 @@ COLLATER_REGISTRY = {
 
 
 class DataLoader:
-    """Minimal synchronous loader: sampler + collater -> numpy batches."""
+    """Sampler + collater -> numpy batches, with optional background
+    prefetch.
 
-    def __init__(self, dataset, sampler, collater):
+    ``prefetch > 0`` overlaps h5 reads + collation with device execution on
+    a daemon thread (h5py/numpy release the GIL) — the analog of the
+    reference's multiprocess DataLoader workers (tts_train.py num_workers)
+    without pickling overhead. Exceptions in the worker propagate to the
+    consumer.
+    """
+
+    def __init__(self, dataset, sampler, collater, prefetch: int = 0):
         self.dataset = dataset
         self.sampler = sampler
         self.collater = collater
+        self.prefetch = int(prefetch or 0)
 
     def __len__(self) -> int:
         return len(self.sampler)
 
+    def _make(self, batch_idx):
+        return self.collater([self.dataset[i] for i in batch_idx])
+
     def __iter__(self):
-        for batch_idx in self.sampler:
-            yield self.collater([self.dataset[i] for i in batch_idx])
+        if self.prefetch <= 0:
+            for batch_idx in self.sampler:
+                yield self._make(batch_idx)
+            return
+
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        _END = object()
+
+        def worker():
+            try:
+                for batch_idx in self.sampler:
+                    q.put(self._make(batch_idx))
+                q.put(_END)
+            except BaseException as e:  # noqa: BLE001 — propagate to consumer
+                q.put(e)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+        t.join()

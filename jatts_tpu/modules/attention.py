@@ -89,20 +89,25 @@ def _flash_attend(q, k, v, ab, mask, sm_scale, causal=False):
     dropout is NOT applied on this path (flash kernels don't support it);
     opt in via attn_backend='flash' accepts that delta vs the reference.
 
-    q/k/v: [B, H, T, d]; ab: [B, H, Tq, Tk] additive bias (pre-scaled) or
-    None; mask: [B, 1, Tk] / [B, Tk] True-on-valid or None.
+    q/k: [B, H, T, d_qk]; v: [B, H, T, d_v] (d_v may be narrower than d_qk —
+    the rel-pos fused path concatenates positional features onto q/k only);
+    ab: [B, H, Tq, Tk] additive bias (pre-scaled) or None; mask:
+    [B, 1, Tk] / [B, Tk] True-on-valid or None.
     """
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         SegmentIds,
         flash_attention,
     )
 
-    b, _, t_q, d = q.shape
-    t_k = k.shape[2]
-    d_pad = -d % 128  # lane-dim alignment: zero-pad head dim
-    if d_pad:
-        pad = lambda x: jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, d_pad)))
-        q, k, v = pad(q), pad(k), pad(v)
+    d_qk = q.shape[-1]
+    d_v = v.shape[-1]
+    width = d_qk + (-d_qk % 128)  # lane-dim alignment: zero-pad head dim
+
+    def pad_to(x):
+        p = width - x.shape[-1]
+        return jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, p))) if p else x
+
+    q, k, v = pad_to(q), pad_to(k), pad_to(v)
     seg = None
     if mask is not None:
         ids = (mask[:, 0] if mask.ndim == 3 else mask).astype(jnp.int32)
@@ -110,7 +115,43 @@ def _flash_attend(q, k, v, ab, mask, sm_scale, causal=False):
     out = flash_attention(
         q, k, v, ab=ab, segment_ids=seg, causal=causal, sm_scale=float(sm_scale)
     )
-    return out[..., :d]
+    return out[..., :d_v]
+
+
+def relpos_fused_features(q_v, w_pos, t: int, n_feat: int):
+    """Exact low-rank decomposition of the (latest) rel-pos bias for fused
+    attention: returns ``(u_tilde [B,H,T,n_feat], phi [T,n_feat])`` such that
+
+        einsum('bhqf,kf->bhqk', u_tilde, phi)
+          == rel_shift_gather(einsum('bhqd,xhpd->bhqp', q_v, p), T)
+
+    where ``p = split_heads(pos_emb @ w_pos)`` over the signed sinusoid table
+    (positions T-1 … -(T-1)). Derivation: bd[i,j] = u(i)·PE(i-j) with
+    u(i) = W_posᵀ q_v[i]; the angle-addition identities split
+    sin/cos(ω(i-j)) into i-only and j-only factors, so the bias becomes a
+    plain dot product of augmented features and the [B,H,T,T] bias tensor is
+    never materialized (the flash kernel sees concat'd q/k instead).
+    Exactness is pinned by tests/test_attention_fused_relpos.py.
+
+    Does NOT apply to the legacy variant: its rel_shift wraps rows for
+    j > i (reference attention.py:141-162 keeps that region), which mixes
+    other query rows into bd[i, j>i] and admits no rank-structured form.
+    """
+    h, dk = q_v.shape[1], q_v.shape[3]
+    w = w_pos.reshape(n_feat, h, dk)
+    u = jnp.einsum("bhtd,fhd->bhtf", q_v, w)  # [B,H,T,n_feat]
+    om = jnp.exp(
+        jnp.arange(0, n_feat, 2, dtype=jnp.float32)
+        * -(np.log(10000.0) / n_feat)
+    )  # [F]
+    ang = om[None, :] * jnp.arange(t, dtype=jnp.float32)[:, None]  # [T,F]
+    sin_i, cos_i = jnp.sin(ang), jnp.cos(ang)
+    u_e, u_o = u[..., 0::2], u[..., 1::2]
+    ut = jnp.stack(
+        [u_e * sin_i + u_o * cos_i, -u_e * cos_i + u_o * sin_i], axis=-1
+    ).reshape(u.shape)
+    phi = jnp.stack([cos_i, sin_i], axis=-1).reshape(t, n_feat)
+    return ut.astype(q_v.dtype), phi.astype(q_v.dtype)
 
 
 def rel_shift_gather(matrix_bd: jnp.ndarray, t_k: int) -> jnp.ndarray:
@@ -206,12 +247,9 @@ class RelPositionMultiHeadedAttention(nn.Module):
         q = _split_heads(nn.Dense(self.n_feat, dtype=self.dtype, name="linear_q")(query), self.n_head)
         k = _split_heads(nn.Dense(self.n_feat, dtype=self.dtype, name="linear_k")(key), self.n_head)
         v = _split_heads(nn.Dense(self.n_feat, dtype=self.dtype, name="linear_v")(value), self.n_head)
-
-        # pos_emb: [1, 2*T_q-1, n_feat]
-        p = _split_heads(
-            nn.Dense(self.n_feat, use_bias=False, dtype=self.dtype, name="linear_pos")(pos_emb),
-            self.n_head,
-        )  # [1, H, 2T-1, d_k]
+        dense_pos = nn.Dense(
+            self.n_feat, use_bias=False, dtype=self.dtype, name="linear_pos"
+        )
 
         pos_bias_u = self.param(
             "pos_bias_u", nn.initializers.xavier_uniform(), (self.n_head, d_k)
@@ -222,15 +260,27 @@ class RelPositionMultiHeadedAttention(nn.Module):
 
         q_u = q + pos_bias_u[None, :, None, :]
         q_v = q + pos_bias_v[None, :, None, :]
-
-        matrix_bd = jnp.einsum("bhqd,xhpd->bhqp", q_v, p)  # x==1 broadcast
-        matrix_bd = rel_shift_gather(matrix_bd, k.shape[2])
         sm_scale = 1.0 / np.sqrt(d_k)
 
         if _flash_ok(self.attn_backend, mask, q.shape[2], k.shape[2]):
-            # the kernel computes (q k^T + ab) * sm_scale -> pass bd unscaled
-            x = _flash_attend(q_u, k, v, matrix_bd.astype(q.dtype), mask, sm_scale)
+            # FUSED rel-pos: bd decomposes exactly into ũ(i)·φ(j)
+            # (relpos_fused_features), so the whole thing is one flash call
+            # over concatenated features — no [B,H,T,T] tensor ever exists.
+            # Note: bypasses positional dropout on pos_emb (exact in eval;
+            # training opt-in accepts that delta, like attn-prob dropout).
+            w_pos = dense_pos(jnp.eye(self.n_feat, dtype=self.dtype))
+            ut, phi = relpos_fused_features(q_v, w_pos, q.shape[2], self.n_feat)
+            q_cat = jnp.concatenate([q_u, ut], axis=-1)
+            k_cat = jnp.concatenate(
+                [k, jnp.broadcast_to(phi[None, None], (*k.shape[:3], self.n_feat))],
+                axis=-1,
+            )
+            x = _flash_attend(q_cat, k_cat, v, None, mask, sm_scale)
         else:
+            # pos_emb: [1, 2*T_q-1, n_feat]
+            p = _split_heads(dense_pos(pos_emb), self.n_head)  # [1,H,2T-1,dk]
+            matrix_bd = jnp.einsum("bhqd,xhpd->bhqp", q_v, p)  # x==1 broadcast
+            matrix_bd = rel_shift_gather(matrix_bd, k.shape[2])
             matrix_ac = jnp.einsum("bhqd,bhkd->bhqk", q_u, k)
             scores = (matrix_ac + matrix_bd) * jnp.asarray(sm_scale, q.dtype)
             x = _attend(scores, v, mask, self.dropout_rate, deterministic)

@@ -46,6 +46,47 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def replicate_tree(tree, mesh: Mesh):
+    """Replicate a host pytree onto a (possibly multi-host) mesh.
+
+    Multi-process: ``jax.device_put`` onto a non-addressable sharding does a
+    cross-host broadcast whose Gloo connect can time out while peers are
+    still compiling (init skew is minutes on slow hosts); every host already
+    holds the same values (same-seed init / same restored checkpoint), so
+    assemble the global array from process-local data — no communication.
+    """
+    sh = replicated(mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(tree, sh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+        tree,
+    )
+
+
+def _put_global(v: np.ndarray, sharding: NamedSharding, batch_axis: int):
+    """Place one batch array on the (possibly multi-host) mesh.
+
+    Single-process: plain device_put. Multi-process: every host holds the
+    IDENTICAL full batch (same csv + same sampler seed — see
+    bin/tts_train.py); each host contributes its strided row slice and the
+    global array is assembled with make_array_from_process_local_data.
+    The global batch is therefore a row permutation of the full batch —
+    loss means are permutation-invariant. This replaces the reference's
+    DistributedSampler + DDP scheme (SURVEY.md §5.8) while guaranteeing
+    every host dispatches the same program with the same global shapes
+    (per-host batch lists with per-host pad lengths would deadlock SPMD
+    collectives)."""
+    if jax.process_count() == 1:
+        return jax.device_put(v, sharding)
+    proc, nproc = jax.process_index(), jax.process_count()
+    idx = [slice(None)] * v.ndim
+    idx[batch_axis] = slice(proc, None, nproc)
+    return jax.make_array_from_process_local_data(
+        sharding, np.ascontiguousarray(v[tuple(idx)])
+    )
+
+
 def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     """Move a numpy batch onto the mesh, batch axis over 'data'.
 
@@ -57,7 +98,7 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     out = {}
     for k, v in batch.items():
         if isinstance(v, np.ndarray) and v.ndim >= 1:
-            out[k] = jax.device_put(v, sharding)
+            out[k] = _put_global(v, sharding, 0)
         else:
             out[k] = v
     return out
@@ -70,7 +111,7 @@ def shard_stacked_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     out = {}
     for k, v in batch.items():
         if isinstance(v, np.ndarray) and v.ndim >= 2:
-            out[k] = jax.device_put(v, NamedSharding(mesh, P(None, "data")))
+            out[k] = _put_global(v, NamedSharding(mesh, P(None, "data")), 1)
         else:
             out[k] = v
     return out

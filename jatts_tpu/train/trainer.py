@@ -109,6 +109,7 @@ class Trainer:
         self._pending_batches: list = []
         self.eval_step = self._build_eval_step()
         self.state: Optional[TrainState] = None
+        self._mh_synced = False  # multi-host first-step rendezvous done
 
     # -- state ------------------------------------------------------------
     def init_state(self, sample_batch: Dict[str, Any]) -> TrainState:
@@ -146,11 +147,13 @@ class Trainer:
         size-based rule for params, optimizer moments, and EMA (their leaves
         share shapes, so the shardings stay consistent and XLA/GSPMD inserts
         the collectives inside the jitted step)."""
-        from jatts_tpu.parallel.mesh import replicated, shard_params_tp
+        from jatts_tpu.parallel.mesh import replicate_tree, shard_params_tp
 
         if self.mesh.shape.get("model", 1) > 1:
+            # TP sharding uses device_put per leaf; multi-host TP resume is
+            # untested (single-host dp x tp is the supported TP topology)
             return shard_params_tp(state, self.mesh)
-        return jax.device_put(state, replicated(self.mesh))
+        return replicate_tree(state, self.mesh)
 
     def _init_variables(self, rng, batch):
         if self.kwargs_fn is not None:
@@ -299,10 +302,32 @@ class Trainer:
         if len(self._pending_batches) == k:
             yield self._run_scan()
 
+    def _sync_processes_after_compile(self, compile_fn):
+        """Multi-host: compile BEFORE the first execution, then rendezvous.
+
+        The first executed program creates the Gloo collective contexts,
+        whose KV-store join times out after a fixed 30 s — shorter than
+        cross-host compile skew. AOT-compiling first (the persistent XLA
+        cache makes the jit path's own compile a fast deserialization) and
+        meeting at a coordination-service barrier bounds the skew to
+        seconds. No-op single-process."""
+        if self._mh_synced or jax.process_count() == 1:
+            return
+        compile_fn()
+        from jax._src import distributed
+
+        client = distributed.global_state.client
+        if client is not None:
+            client.wait_at_barrier("jatts_tpu_first_step", timeout_in_ms=1_200_000)
+        self._mh_synced = True
+
     def _run_single(self, prepped):
         if self.mesh is not None:
             prepped = shard_batch(prepped, self.mesh)
         step_rng = jax.random.fold_in(self.rng, self.steps)
+        self._sync_processes_after_compile(
+            lambda: self.train_step.lower(self.state, prepped, step_rng).compile()
+        )
         self.state, stats = self.train_step(self.state, prepped, step_rng)
         self.steps += 1
         return 1, stats
@@ -325,6 +350,11 @@ class Trainer:
 
             stacked = shard_stacked_batch(stacked, self.mesh)
         offsets = np.arange(self.steps, self.steps + k, dtype=np.int32)
+        self._sync_processes_after_compile(
+            lambda: self.train_step_scan.lower(
+                self.state, stacked, self.rng, offsets
+            ).compile()
+        )
         self.state, stats = self.train_step_scan(
             self.state, stacked, self.rng, offsets
         )
@@ -393,16 +423,19 @@ class Trainer:
 
     def _log_interval(self, interval: int, t0: float) -> None:
         dt = time.time() - t0
+        rank0 = jax.process_index() == 0  # rank-0 tensorboard (ref base.py)
         msgs = []
         for k, v in sorted(self.total_train_loss.items()):
             avg = v / interval
-            self.writer.add_scalar(k, avg, self.steps)
+            if rank0:
+                self.writer.add_scalar(k, avg, self.steps)
             msgs.append(f"{k}={avg:.4f}")
         lr = float(self.schedule(self.steps))
-        self.writer.add_scalar("train/lr", lr, self.steps)
-        for k, v in self._device_memory_stats().items():
-            self.writer.add_scalar(k, v, self.steps)  # peak-memory logging
-            #   (reference logs peak CUDA memory, trainers/base.py:215-217)
+        if rank0:
+            self.writer.add_scalar("train/lr", lr, self.steps)
+            for k, v in self._device_memory_stats().items():
+                self.writer.add_scalar(k, v, self.steps)  # peak-memory logging
+                #   (reference logs peak CUDA memory, trainers/base.py:215-217)
         logging.info(
             f"(steps {self.steps}) {' '.join(msgs)} lr={lr:.2e} "
             f"({interval / max(dt, 1e-9):.2f} steps/s)"
@@ -434,6 +467,10 @@ class Trainer:
 
     # -- checkpoint -------------------------------------------------------
     def save_checkpoint(self) -> str:
+        # Under multi-host ALL processes must call into orbax (its save
+        # contains cross-process sync barriers; rank-gating deadlocks the
+        # shutdown barrier). orbax itself writes host-local numpy data on
+        # the primary host only — reference-style rank-0 writing falls out.
         assert self.state is not None
         path = save_checkpoint(
             self.outdir,

@@ -19,17 +19,48 @@ def _ckpt_dir(outdir: str, steps: int) -> str:
     return os.path.join(os.path.abspath(outdir), f"checkpoint-{steps}steps")
 
 
+def _checkpointer():
+    """Single-process orbax pool.
+
+    Under multi-host, orbax's default cross-process sync (process_allgather
+    over ad-hoc Gloo cliques) deadlocks against in-flight training
+    collectives on the CPU/Gloo backend; our checkpoints are host numpy
+    (device_get'd replicated state), so each process can act as its own
+    single-member pool: process 0 writes, everyone reads.
+    """
+    import jax
+
+    if jax.process_count() > 1:
+        i = jax.process_index()
+        opts = ocp.options.MultiprocessingOptions(
+            primary_host=i, active_processes={i},
+            barrier_sync_key_prefix=f"proc{i}",
+        )
+        return ocp.Checkpointer(
+            ocp.StandardCheckpointHandler(multiprocessing_options=opts),
+            multiprocessing_options=opts,
+        )
+    return ocp.StandardCheckpointer()
+
+
 def save_checkpoint(outdir: str, steps: int, state: Dict[str, Any]) -> str:
+    """Write an orbax checkpoint. Multi-host: call on EVERY process with the
+    same (replicated, device_get'd) state — only process 0 writes."""
+    import jax
+
     path = _ckpt_dir(outdir, steps)
-    ckptr = ocp.StandardCheckpointer()
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        return path  # reference-style rank-0 writing (trainers/base.py)
+    ckptr = _checkpointer()
     ckptr.save(path, state, force=True)
-    ckptr.wait_until_finished()
+    if hasattr(ckptr, "wait_until_finished"):  # async (single-process) pool
+        ckptr.wait_until_finished()
     return path
 
 
 def restore_checkpoint(path: str, template: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
     path = os.path.abspath(path)  # orbax rejects relative paths
-    ckptr = ocp.StandardCheckpointer()
+    ckptr = _checkpointer()
     if template is not None:
         return ckptr.restore(path, target=template)
     return ckptr.restore(path)

@@ -126,3 +126,34 @@ def test_valle_collater_prompt_crop():
     assert b["proms"].shape[1] == 64
     assert b["resps"].shape == (1, round_up(300, 16), 8)
     assert b["prom_lens"][0] == 64
+
+
+def test_dataloader_prefetch_matches_sync():
+    """Background-prefetch DataLoader yields the same batches in the same
+    order as the synchronous path, and worker exceptions propagate."""
+    import numpy as np
+    import pytest
+
+    from jatts_tpu.data.batcher import BatchSampler, DataLoader
+
+    data = [{"x": np.full((3,), i, np.int32)} for i in range(10)]
+    lengths = [3] * 10
+
+    def collate(items):
+        return {"x": np.stack([it["x"] for it in items])}
+
+    sync = list(DataLoader(data, BatchSampler(lengths, 4, shuffle=False), collate))
+    pre = list(DataLoader(data, BatchSampler(lengths, 4, shuffle=False), collate,
+                          prefetch=2))
+    assert len(sync) == len(pre)
+    for a, b in zip(sync, pre):
+        np.testing.assert_array_equal(a["x"], b["x"])
+
+    class Boom(list):
+        def __getitem__(self, i):
+            raise RuntimeError("boom")
+
+    loader = DataLoader(Boom(), BatchSampler(lengths, 4, shuffle=False), collate,
+                        prefetch=2)
+    with pytest.raises(RuntimeError, match="boom"):
+        list(loader)
