@@ -140,18 +140,23 @@ def relpos_fused_features(q_v, w_pos, t: int, n_feat: int):
     h, dk = q_v.shape[1], q_v.shape[3]
     w = w_pos.reshape(n_feat, h, dk)
     u = jnp.einsum("bhtd,fhd->bhtf", q_v, w)  # [B,H,T,n_feat]
-    om = jnp.exp(
-        jnp.arange(0, n_feat, 2, dtype=jnp.float32)
-        * -(np.log(10000.0) / n_feat)
+    # static trig tables in float64 (like the PE table in positional.py) —
+    # f32 sin/cos of large angles alone costs ~1e-3 in the final output
+    om = np.exp(
+        np.arange(0, n_feat, 2, dtype=np.float64) * -(np.log(10000.0) / n_feat)
     )  # [F]
-    ang = om[None, :] * jnp.arange(t, dtype=jnp.float32)[:, None]  # [T,F]
-    sin_i, cos_i = jnp.sin(ang), jnp.cos(ang)
+    ang = om[None, :] * np.arange(t, dtype=np.float64)[:, None]  # [T,F]
+    sin_i = jnp.asarray(np.sin(ang), u.dtype)
+    cos_i = jnp.asarray(np.cos(ang), u.dtype)
     u_e, u_o = u[..., 0::2], u[..., 1::2]
     ut = jnp.stack(
         [u_e * sin_i + u_o * cos_i, -u_e * cos_i + u_o * sin_i], axis=-1
     ).reshape(u.shape)
-    phi = jnp.stack([cos_i, sin_i], axis=-1).reshape(t, n_feat)
-    return ut.astype(q_v.dtype), phi.astype(q_v.dtype)
+    phi = jnp.asarray(
+        np.stack([np.cos(ang), np.sin(ang)], axis=-1).reshape(t, n_feat),
+        q_v.dtype,
+    )
+    return ut.astype(q_v.dtype), phi
 
 
 def rel_shift_gather(matrix_bd: jnp.ndarray, t_k: int) -> jnp.ndarray:

@@ -448,10 +448,24 @@ class Trainer:
         totals: Dict[str, float] = defaultdict(float)
         count = 0
         n_dev = self.mesh.devices.size if self.mesh is not None else 1
+        eval_synced = False
         for batch in self.dev_loader:
             prepped = self._prep(batch, n_dev)
             if self.mesh is not None:
                 prepped = shard_batch(prepped, self.mesh)
+            if not eval_synced and jax.process_count() > 1:
+                # same compile-skew hazard as the first train step: the
+                # eval program's first collective must not Gloo-timeout
+                # while a peer is still compiling
+                self.eval_step.lower(self.state, prepped, jax.random.key(0)).compile()
+                from jax._src import distributed
+
+                client = distributed.global_state.client
+                if client is not None:
+                    client.wait_at_barrier(
+                        f"jatts_tpu_eval_{self.steps}", timeout_in_ms=1_200_000
+                    )
+                eval_synced = True
             stats = self.eval_step(self.state, prepped, jax.random.key(0))
             for k, v in stats.items():
                 totals[k] += float(v)
