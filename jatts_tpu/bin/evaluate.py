@@ -83,29 +83,46 @@ def _eval_asr(tasks, rows, sr, args):
     return cer
 
 
-def _eval_spkemb(tasks, sr):
-    """Speaker cosine similarity (gated on speechbrain ECAPA, reference
-    evaluate.py:217-244)."""
-    try:
-        import torch  # noqa: PLC0415
-        from speechbrain.pretrained import EncoderClassifier  # noqa: PLC0415
+def _eval_spkemb(tasks, sr, model_path=None):
+    """Speaker cosine similarity (reference evaluate.py:217-244). Uses the
+    native JAX ECAPA (features/ecapa.py) with a local speechbrain
+    ``embedding_model.ckpt`` when ``--spkemb-model`` is given; falls back to
+    the speechbrain package; skips otherwise."""
+    encode = None
+    if model_path:
+        from jatts_tpu.features.ecapa import EcapaSpkEmbExtractor  # noqa: PLC0415
 
-        clf = EncoderClassifier.from_hparams("speechbrain/spkrec-ecapa-voxceleb")
-    except Exception as e:  # noqa: BLE001
-        logging.warning(f"speechbrain unavailable ({e}); skipping spkemb sim")
-        return None
-    import torch
+        ex = EcapaSpkEmbExtractor(model_path)
+        encode = lambda wav: ex(wav)  # noqa: E731
+    else:
+        try:
+            import torch  # noqa: PLC0415
+            from speechbrain.pretrained import EncoderClassifier  # noqa: PLC0415
+
+            clf = EncoderClassifier.from_hparams(
+                "speechbrain/spkrec-ecapa-voxceleb"
+            )
+
+            def encode(wav):
+                with torch.no_grad():
+                    return clf.encode_batch(
+                        torch.from_numpy(wav)[None]
+                    ).numpy().reshape(-1)
+
+        except Exception as e:  # noqa: BLE001
+            logging.warning(f"speechbrain unavailable ({e}); skipping spkemb sim")
+            return None
 
     sims = []
     for utt, gen_path, ref_path, *_ in tasks:
-        wavs = []
+        embs = []
         for p in (gen_path, ref_path):
             wav, _ = read_audio(p, 16000)
-            wavs.append(torch.from_numpy(wav)[None])
-        with torch.no_grad():
-            e1 = clf.encode_batch(wavs[0]).squeeze()
-            e2 = clf.encode_batch(wavs[1]).squeeze()
-        sims.append(float(torch.nn.functional.cosine_similarity(e1, e2, dim=0)))
+            embs.append(encode(wav))
+        e1, e2 = embs
+        sims.append(
+            float(np.dot(e1, e2) / max(np.linalg.norm(e1) * np.linalg.norm(e2), 1e-9))
+        )
     sim = float(np.mean(sims))
     print(f"spkemb cosine similarity: {sim:.4f}")
     return sim
@@ -145,6 +162,11 @@ def main():
         help="local torch.hub dir with the SHEET predictor (zero-egress)",
     )
     parser.add_argument(
+        "--spkemb-model", default=None,
+        help="local speechbrain embedding_model.ckpt for the native JAX "
+             "ECAPA spkemb similarity (zero-egress)",
+    )
+    parser.add_argument(
         "--mcep-method", default="world", choices=["world", "dct"],
         help="mcep extractor: 'world' = CheapTrick+sp2mc (tech-report scale), "
              "'dct' = fast DCT-of-log-mel (NOT comparable to published MCDs)",
@@ -181,7 +203,7 @@ def main():
     if "asr" in args.metrics:
         _eval_asr(tasks, rows, sr, args)
     if "spkemb" in args.metrics:
-        _eval_spkemb(tasks, sr)
+        _eval_spkemb(tasks, sr, args.spkemb_model)
     if "sheet" in args.metrics:
         _eval_sheet(tasks, source=args.sheet_source)
 

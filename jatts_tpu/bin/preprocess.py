@@ -117,7 +117,7 @@ def main():
             e = en(wav, feat_length=len(mel), durations=durations)
             write_hdf5(feat_path, "energy", e)
         if "spkemb" in feat_list:
-            emb = _extract_spkemb(wav, sr)
+            emb = _extract_spkemb(wav, sr, config.get("spkemb_model_path"))
             if emb is not None:
                 write_hdf5(feat_path, "spkemb", emb)
         if any(f.startswith("encodec") for f in feat_list):
@@ -156,18 +156,40 @@ def _extract_encodec(wav, sr, codec_path=None):
         return None
 
 
-def _extract_spkemb(wav, sr):
-    """ECAPA speaker embedding via speechbrain when available (the reference's
-    extractor, feature_extract/spkemb_speechbrain.py:14-30); None otherwise."""
+_SPKEMB_CACHE: dict = {}
+
+
+def _extract_spkemb(wav, sr, model_path=None):
+    """ECAPA speaker embedding (the reference's extractor,
+    feature_extract/spkemb_speechbrain.py:14-30).
+
+    Preferred path: the native JAX ECAPA-TDNN (features/ecapa.py) fed with
+    speechbrain's ``embedding_model.ckpt`` from a local ``spkemb_model_path``
+    (zero-egress). Falls back to the speechbrain package when importable;
+    None otherwise. Audio is resampled to the 16 kHz the voxceleb model was
+    trained on (the reference feeds the corpus rate as-is — a known quirk)."""
+    if model_path:
+        if "native" not in _SPKEMB_CACHE:
+            from jatts_tpu.features.ecapa import EcapaSpkEmbExtractor  # noqa: PLC0415
+
+            _SPKEMB_CACHE["native"] = EcapaSpkEmbExtractor(model_path)
+        if sr != 16000:
+            from scipy.signal import resample_poly  # noqa: PLC0415
+            from math import gcd  # noqa: PLC0415
+
+            g = gcd(16000, int(sr))
+            wav = resample_poly(wav, 16000 // g, int(sr) // g)
+        return _SPKEMB_CACHE["native"](wav).astype(np.float32)
     try:
         from speechbrain.pretrained import EncoderClassifier  # noqa: PLC0415
         import torch  # noqa: PLC0415
 
-        classifier = EncoderClassifier.from_hparams(
-            source="speechbrain/spkrec-ecapa-voxceleb"
-        )
+        if "sb" not in _SPKEMB_CACHE:
+            _SPKEMB_CACHE["sb"] = EncoderClassifier.from_hparams(
+                source="speechbrain/spkrec-ecapa-voxceleb"
+            )
         with torch.no_grad():
-            emb = classifier.encode_batch(torch.from_numpy(wav)[None])
+            emb = _SPKEMB_CACHE["sb"].encode_batch(torch.from_numpy(wav)[None])
         return emb.squeeze().numpy().astype(np.float32)
     except Exception:  # noqa: BLE001 — package or weights unavailable
         logging.warning("speechbrain unavailable; skipping spkemb")

@@ -1,0 +1,394 @@
+"""Native ECAPA-TDNN speaker-embedding extractor (TPU/JAX).
+
+The reference extracts x-vector-style speaker embeddings through
+speechbrain's pretrained ``spkrec-ecapa-voxceleb`` EncoderClassifier
+(reference jatts/modules/feature_extract/spkemb_speechbrain.py:14-30) —
+a torch dependency absent from this image and, being an eager per-utterance
+CNN, a poor fit for the TPU anyway. This module re-implements the whole
+pipeline natively:
+
+  wav (16 kHz) -> log-mel fbank (25 ms / 10 ms, 80 mel, hamming)
+      -> per-utterance mean-norm -> ECAPA-TDNN -> 192-d embedding
+
+and ships an importer for speechbrain's ``embedding_model.ckpt`` (a plain
+torch state dict of their ECAPA_TDNN), so the actual voxceleb weights can be
+dropped in zero-egress via a local path. The architecture follows the ECAPA
+paper (Desplanques et al., 2020) with speechbrain's published hyperparams:
+channels (1024,1024,1024,1024,3072), Res2Net scale 8, SE bottleneck 128,
+attentive-stats pooling with global context, 192-d output.
+
+Everything is channels-last [B, T, C] and jit-compiled as ONE program per
+audio bucket (eager per-op dispatch through the axon tunnel is pathological
+— see CLAUDE.md). Parity with a same-key-layout torch replica is pinned in
+tests/test_ecapa.py; a gated test runs against the real speechbrain package
+when it is importable.
+"""
+
+from __future__ import annotations
+
+import logging
+from functools import partial
+from typing import Any, Optional, Sequence
+
+import numpy as np
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+# ---------------------------------------------------------------------------
+# Fbank frontend (speechbrain Fbank defaults for the voxceleb recipe:
+# 16 kHz, n_fft 400, win 25 ms hamming, hop 10 ms, 80 HTK-mel filters
+# 0..8 kHz, power spectrum, 10*log10 dB with top_db=80).
+# ---------------------------------------------------------------------------
+
+
+def _hz_to_mel(f):
+    return 2595.0 * np.log10(1.0 + np.asarray(f, np.float64) / 700.0)
+
+
+def _mel_to_hz(m):
+    return 700.0 * (10.0 ** (np.asarray(m, np.float64) / 2595.0) - 1.0)
+
+
+def mel_filterbank_htk(
+    n_mels: int, n_fft: int, sr: float, fmin: float = 0.0, fmax: Optional[float] = None
+) -> np.ndarray:
+    """Triangular HTK-mel filter matrix [n_fft//2+1, n_mels]."""
+    fmax = fmax or sr / 2
+    pts = _mel_to_hz(np.linspace(_hz_to_mel(fmin), _hz_to_mel(fmax), n_mels + 2))
+    freqs = np.linspace(0, sr / 2, n_fft // 2 + 1)
+    lo, ctr, hi = pts[:-2], pts[1:-1], pts[2:]
+    up = (freqs[:, None] - lo[None, :]) / (ctr - lo)[None, :]
+    down = (hi[None, :] - freqs[:, None]) / (hi - ctr)[None, :]
+    return np.maximum(0.0, np.minimum(up, down)).astype(np.float32)
+
+
+@partial(jax.jit, static_argnames=("n_fft", "hop", "n_mels", "sr"))
+def fbank(
+    wav: jnp.ndarray, sr: int = 16000, n_fft: int = 400, hop: int = 160,
+    n_mels: int = 80,
+) -> jnp.ndarray:
+    """Log-mel fbank [B, T, n_mels] from [B, S] 16 kHz audio."""
+    win = jnp.asarray(np.hamming(n_fft).astype(np.float32))
+    pad = n_fft // 2
+    x = jnp.pad(wav, ((0, 0), (pad, pad)))  # center, constant
+    n_frames = 1 + (x.shape[1] - n_fft) // hop
+    idx = jnp.arange(n_frames)[:, None] * hop + jnp.arange(n_fft)[None, :]
+    frames = x[:, idx] * win  # [B, T, n_fft]
+    spec = jnp.fft.rfft(frames, n_fft)
+    power = jnp.abs(spec) ** 2
+    mel = power @ jnp.asarray(mel_filterbank_htk(n_mels, n_fft, sr))
+    db = 10.0 * jnp.log10(jnp.maximum(mel, 1e-10))
+    # top_db clamp relative to the per-batch max (speechbrain Filterbank)
+    db = jnp.maximum(db, db.max() - 80.0)
+    return db
+
+
+# ---------------------------------------------------------------------------
+# ECAPA-TDNN (inference-time module: BatchNorm always uses running stats)
+# ---------------------------------------------------------------------------
+
+
+def _masked_stats(x, mask, axis=1, eps=1e-12):
+    """Mean/std over `axis` counting only mask-True rows. mask: [B, T, 1]."""
+    n = jnp.maximum(mask.sum(axis, keepdims=True), 1.0)
+    mean = (x * mask).sum(axis, keepdims=True) / n
+    var = ((x - mean) ** 2 * mask).sum(axis, keepdims=True) / n
+    return mean, jnp.sqrt(jnp.maximum(var, eps))
+
+
+class TDNNBlock(nn.Module):
+    """Conv1d -> ReLU -> BatchNorm (speechbrain TDNNBlock ordering)."""
+
+    out: int
+    k: int = 1
+    d: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(
+            self.out, (self.k,), kernel_dilation=(self.d,), padding="SAME",
+            name="conv",
+        )(x)
+        x = nn.relu(x)
+        return nn.BatchNorm(
+            use_running_average=True, epsilon=1e-5, name="norm"
+        )(x)
+
+
+class Res2NetBlock(nn.Module):
+    out: int
+    scale: int = 8
+    k: int = 3
+    d: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        hidden = self.out // self.scale
+        chunks = jnp.split(x, self.scale, axis=-1)
+        ys = [chunks[0]]
+        y = None
+        for i in range(1, self.scale):
+            inp = chunks[i] if i == 1 else chunks[i] + y
+            y = TDNNBlock(hidden, self.k, self.d, name=f"blocks_{i - 1}")(inp)
+            ys.append(y)
+        return jnp.concatenate(ys, axis=-1)
+
+
+class SEBlock(nn.Module):
+    se_ch: int
+    out: int
+
+    @nn.compact
+    def __call__(self, x, mask):
+        n = jnp.maximum(mask.sum(1, keepdims=True), 1.0)
+        s = (x * mask).sum(1, keepdims=True) / n  # [B, 1, C]
+        s = nn.relu(nn.Conv(self.se_ch, (1,), name="conv1")(s))
+        s = nn.sigmoid(nn.Conv(self.out, (1,), name="conv2")(s))
+        return x * s
+
+
+class SERes2NetBlock(nn.Module):
+    out: int
+    res2net_scale: int = 8
+    se_ch: int = 128
+    k: int = 3
+    d: int = 1
+
+    @nn.compact
+    def __call__(self, x, mask):
+        residual = x
+        x = TDNNBlock(self.out, 1, 1, name="tdnn1")(x)
+        x = Res2NetBlock(self.out, self.res2net_scale, self.k, self.d,
+                         name="res2net_block")(x)
+        x = TDNNBlock(self.out, 1, 1, name="tdnn2")(x)
+        x = SEBlock(self.se_ch, self.out, name="se_block")(x, mask)
+        return x + residual
+
+
+class AttentiveStatisticsPooling(nn.Module):
+    ch: int
+    attn_ch: int = 128
+
+    @nn.compact
+    def __call__(self, x, mask):
+        t = x.shape[1]
+        mean, std = _masked_stats(x, mask)
+        attn_in = jnp.concatenate(
+            [x, jnp.broadcast_to(mean, x.shape), jnp.broadcast_to(std, x.shape)],
+            axis=-1,
+        )
+        a = TDNNBlock(self.attn_ch, 1, 1, name="tdnn")(attn_in)
+        a = jnp.tanh(a)
+        a = nn.Conv(self.ch, (1,), name="conv")(a)
+        a = jnp.where(mask > 0, a, -jnp.inf)
+        a = jax.nn.softmax(a, axis=1)
+        mean = (a * x).sum(1)
+        std = jnp.sqrt(jnp.maximum((a * x * x).sum(1) - mean**2, 1e-12))
+        return jnp.concatenate([mean, std], axis=-1)[:, None, :]  # [B, 1, 2C]
+
+
+class EcapaTdnn(nn.Module):
+    """speechbrain-layout ECAPA_TDNN: [B, T, n_mels] -> [B, lin_neurons]."""
+
+    channels: Sequence[int] = (1024, 1024, 1024, 1024, 3072)
+    kernel_sizes: Sequence[int] = (5, 3, 3, 3, 1)
+    dilations: Sequence[int] = (1, 2, 3, 4, 1)
+    attn_ch: int = 128
+    res2net_scale: int = 8
+    se_ch: int = 128
+    lin_neurons: int = 192
+
+    @nn.compact
+    def __call__(self, feats: jnp.ndarray, lens: Optional[jnp.ndarray] = None):
+        t = feats.shape[1]
+        if lens is None:
+            lens = jnp.full((feats.shape[0],), t, jnp.int32)
+        mask = (jnp.arange(t)[None, :] < lens[:, None]).astype(feats.dtype)
+        mask = mask[:, :, None]
+
+        x = TDNNBlock(self.channels[0], self.kernel_sizes[0],
+                      self.dilations[0], name="blocks_0")(feats)
+        skips = []
+        for i in range(1, len(self.channels) - 1):
+            x = SERes2NetBlock(
+                self.channels[i], self.res2net_scale, self.se_ch,
+                self.kernel_sizes[i], self.dilations[i], name=f"blocks_{i}",
+            )(x, mask)
+            skips.append(x)
+        x = jnp.concatenate(skips, axis=-1)
+        x = TDNNBlock(self.channels[-1], self.kernel_sizes[-1],
+                      self.dilations[-1], name="mfa")(x)
+        x = AttentiveStatisticsPooling(self.channels[-1], self.attn_ch,
+                                       name="asp")(x, mask)
+        x = nn.BatchNorm(use_running_average=True, epsilon=1e-5,
+                         name="asp_bn")(x)
+        x = nn.Conv(self.lin_neurons, (1,), name="fc")(x)
+        return x[:, 0, :]
+
+
+# ---------------------------------------------------------------------------
+# speechbrain checkpoint import
+# ---------------------------------------------------------------------------
+
+_BN_MAP = {
+    "weight": ("params", "scale"),
+    "bias": ("params", "bias"),
+    "running_mean": ("batch_stats", "mean"),
+    "running_var": ("batch_stats", "var"),
+}
+
+
+def convert_speechbrain_ecapa(state_dict: dict) -> dict:
+    """Map a speechbrain ECAPA_TDNN torch state dict to flax variables.
+
+    speechbrain wraps every torch primitive (their Conv1d owns an inner
+    ``.conv``, BatchNorm1d an inner ``.norm``), producing keys like
+    ``blocks.0.conv.conv.weight`` / ``asp_bn.norm.running_mean`` — the
+    penultimate ``conv``/``norm`` component is always that wrapper level and
+    is dropped. Torch ``blocks.{i}`` lists become flax ``blocks_{i}``
+    modules. Conv kernels transpose [out, in, k] -> [k, in, out].
+    """
+    import torch
+
+    conv_mods = {"conv", "conv1", "conv2", "fc"}
+    variables: dict = {"params": {}, "batch_stats": {}}
+
+    def put(col, path, value):
+        node = variables[col]
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = value
+
+    for key, tensor in state_dict.items():
+        parts = key.split(".")
+        if parts[-1] == "num_batches_tracked":
+            continue
+        if len(parts) >= 2 and parts[-2] in ("conv", "norm"):
+            parts = parts[:-2] + parts[-1:]  # drop the wrapper level
+        mods, leaf = parts[:-1], parts[-1]
+        # torch list indices -> flax sibling names (blocks.1 -> blocks_1)
+        flat: list = []
+        for m in mods:
+            if m.isdigit() and flat:
+                flat[-1] = f"{flat[-1]}_{m}"
+            else:
+                flat.append(m)
+        arr = (
+            tensor.detach().cpu().numpy()
+            if isinstance(tensor, torch.Tensor)
+            else np.asarray(tensor)
+        )
+        if flat and flat[-1] in conv_mods:
+            if leaf == "weight":
+                put("params", flat + ["kernel"], arr.transpose(2, 1, 0))
+            elif leaf == "bias":
+                put("params", flat + ["bias"], arr)
+            else:  # pragma: no cover
+                raise KeyError(f"unmapped speechbrain key: {key}")
+        elif leaf in _BN_MAP:
+            col, name = _BN_MAP[leaf]
+            put("batch_stats" if col == "batch_stats" else "params",
+                flat + [name], arr)
+        else:  # pragma: no cover - unknown key layout
+            raise KeyError(f"unmapped speechbrain key: {key}")
+    return variables
+
+
+def infer_ecapa_config(state_dict) -> dict:
+    """Derive EcapaTdnn construction kwargs from a speechbrain state dict's
+    tensor shapes (dilations are not recoverable from shapes and keep the
+    published (1,2,3,4,1) pattern)."""
+    import re
+
+    shp = {k: tuple(v.shape) for k, v in state_dict.items()}
+    n_blocks = 1 + max(
+        int(m.group(1))
+        for k in shp
+        if (m := re.match(r"blocks\.(\d+)\.", k))
+    )
+    channels = [shp["blocks.0.conv.conv.weight"][0]]
+    kernel_sizes = [shp["blocks.0.conv.conv.weight"][2]]
+    for i in range(1, n_blocks):
+        channels.append(shp[f"blocks.{i}.tdnn1.conv.conv.weight"][0])
+        kernel_sizes.append(
+            shp[f"blocks.{i}.res2net_block.blocks.0.conv.conv.weight"][2]
+        )
+    channels.append(shp["mfa.conv.conv.weight"][0])
+    kernel_sizes.append(shp["mfa.conv.conv.weight"][2])
+    scale = channels[1] // shp["blocks.1.res2net_block.blocks.0.conv.conv.weight"][0]
+    return dict(
+        channels=tuple(channels),
+        kernel_sizes=tuple(kernel_sizes),
+        dilations=tuple([1] + list(range(2, n_blocks + 1)) + [1]),
+        attn_ch=shp["asp.tdnn.conv.conv.weight"][0],
+        res2net_scale=scale,
+        se_ch=shp["blocks.1.se_block.conv1.conv.weight"][0],
+        lin_neurons=shp["fc.conv.weight"][0],
+    )
+
+
+class EcapaSpkEmbExtractor:
+    """Drop-in for the reference SpeechBrainSpkEmbExtractor (jatts
+    spkemb_speechbrain.py:14-30): wav -> 192-d numpy embedding.
+
+    ``model_path`` points at speechbrain's ``embedding_model.ckpt`` (or any
+    torch state dict in that layout); with no path the model runs with
+    random-initialized weights (pipeline plumbing only — embeddings are
+    meaningless, matching the gated-weights situation honestly).
+    Audio is bucket-padded (mask-aware model) so the whole corpus compiles
+    a handful of XLA programs.
+    """
+
+    BUCKET_S = 16000  # 1 s of samples per bucket
+
+    def __init__(self, model_path: Optional[str] = None, sr: int = 16000):
+        self.sr = sr
+        if model_path:
+            import torch
+
+            sd = torch.load(model_path, map_location="cpu", weights_only=True)
+            if isinstance(sd, dict) and "state_dict" in sd:
+                sd = sd["state_dict"]
+            self.model = EcapaTdnn(**infer_ecapa_config(sd))
+            self.variables = convert_speechbrain_ecapa(sd)
+        else:
+            self.model = EcapaTdnn()
+            logging.warning(
+                "EcapaSpkEmbExtractor: no model_path — random weights "
+                "(embeddings are not speaker-discriminative)"
+            )
+            self.variables = self.model.init(
+                jax.random.key(0), jnp.zeros((1, 64, 80)), jnp.array([64])
+            )
+        self._fwd = jax.jit(
+            lambda v, w, n: self.model.apply(
+                v, *self._feats(w, n)
+            )
+        )
+
+    def _feats(self, wav, n_samp):
+        feats = fbank(wav, self.sr)
+        n_frames = 1 + n_samp // 160
+        t = feats.shape[1]
+        mask = (jnp.arange(t)[None, :] < n_frames[:, None])[..., None]
+        n = jnp.maximum(mask.sum(1, keepdims=True), 1)
+        # speechbrain InputNormalization(norm_type='sentence', std_norm=False);
+        # zero the bucket-padding frames so conv boundary smear into the valid
+        # region is the same bounded effect speechbrain's own batched
+        # inference has for shorter-than-batch-max utterances
+        feats = (feats - (feats * mask).sum(1, keepdims=True) / n) * mask
+        return feats, n_frames
+
+    def forward(self, wav: np.ndarray) -> np.ndarray:
+        wav = np.asarray(wav, np.float32).reshape(-1)
+        n = len(wav)
+        bucket = max(self.BUCKET_S, -(-n // self.BUCKET_S) * self.BUCKET_S)
+        padded = np.pad(wav, (0, bucket - n))
+        emb = self._fwd(
+            self.variables, jnp.asarray(padded)[None], jnp.asarray([n])
+        )
+        return np.asarray(emb[0], np.float32)
+
+    __call__ = forward

@@ -164,16 +164,18 @@ def rel_shift_gather(matrix_bd: jnp.ndarray, t_k: int) -> jnp.ndarray:
     ``[B, H, T_q, T_k]`` aligned scores.
 
     ``pos_emb`` index ``p`` encodes relative position ``T_q-1-p``; attention
-    needs relative position ``i-j``, i.e. ``p = T_q-1-i+j``. Equivalent to the
-    reference's pad/reshape ``rel_shift`` (attention.py:246-260).
+    needs relative position ``i-j``, i.e. ``p = T_q-1-i+j``. Implemented with
+    the pad/reshape trick (the reference's ``rel_shift``,
+    attention.py:246-260): pure static-shape pad+reshape+slice, which XLA
+    lowers to data movement — a per-element gather here measured ~9x slower
+    for the whole FS2 train step on TPU (round 3).
     """
-    t_q = matrix_bd.shape[2]
-    i = jnp.arange(t_q)[:, None]
-    j = jnp.arange(t_k)[None, :]
-    idx = (t_q - 1) - i + j  # [T_q, T_k]
-    return jnp.take_along_axis(
-        matrix_bd, idx[None, None].astype(jnp.int32), axis=-1
-    )
+    b, h, t_q, p = matrix_bd.shape  # p == 2*t_q - 1
+    x = jnp.concatenate(
+        [jnp.zeros((b, h, t_q, 1), matrix_bd.dtype), matrix_bd], axis=-1
+    )  # [B,H,T,2T]
+    x = x.reshape(b, h, 2 * t_q, t_q)[:, :, 1:].reshape(b, h, t_q, p)
+    return x[:, :, :, :t_k]
 
 
 def legacy_rel_shift(x: jnp.ndarray) -> jnp.ndarray:

@@ -211,3 +211,156 @@ class TMatchaDecoder(tnn.Module):
             x = up(x * m)
         x = self.final_block(x, m)
         return self.final_proj(x * m) * mask
+
+
+# ---------------------------------------------------------------------------
+# ECAPA-TDNN replica in speechbrain's module/key layout (speechbrain is not
+# in this image). Used by tests/test_ecapa.py to pin the flax model
+# (jatts_tpu/features/ecapa.py) and its state-dict importer: parameter keys
+# match speechbrain's ``embedding_model.ckpt`` grammar (wrapper Conv1d owns
+# an inner .conv, BatchNorm1d an inner .norm, ModuleList indices), so the
+# same importer that passes here accepts the real voxceleb checkpoint.
+# ---------------------------------------------------------------------------
+
+
+class SBConv1d(tnn.Module):
+    """speechbrain Conv1d wrapper: inner .conv, 'same' padding."""
+
+    def __init__(self, in_ch, out_ch, k, dilation=1):
+        super().__init__()
+        self.conv = tnn.Conv1d(in_ch, out_ch, k, dilation=dilation,
+                               padding="same")
+
+    def forward(self, x):
+        return self.conv(x)
+
+
+class SBBatchNorm1d(tnn.Module):
+    def __init__(self, ch):
+        super().__init__()
+        self.norm = tnn.BatchNorm1d(ch)
+
+    def forward(self, x):
+        return self.norm(x)
+
+
+class SBTDNNBlock(tnn.Module):
+    def __init__(self, in_ch, out_ch, k, dilation):
+        super().__init__()
+        self.conv = SBConv1d(in_ch, out_ch, k, dilation)
+        self.norm = SBBatchNorm1d(out_ch)
+
+    def forward(self, x):
+        return self.norm(torch.relu(self.conv(x)))
+
+
+class SBRes2NetBlock(tnn.Module):
+    def __init__(self, in_ch, out_ch, scale, k, dilation):
+        super().__init__()
+        hid_in, hid_out = in_ch // scale, out_ch // scale
+        self.blocks = tnn.ModuleList(
+            [SBTDNNBlock(hid_in, hid_out, k, dilation) for _ in range(scale - 1)]
+        )
+        self.scale = scale
+
+    def forward(self, x):
+        y = []
+        for i, x_i in enumerate(torch.chunk(x, self.scale, dim=1)):
+            if i == 0:
+                y_i = x_i
+            elif i == 1:
+                y_i = self.blocks[i - 1](x_i)
+            else:
+                y_i = self.blocks[i - 1](x_i + y_i)
+            y.append(y_i)
+        return torch.cat(y, dim=1)
+
+
+class SBSEBlock(tnn.Module):
+    def __init__(self, in_ch, se_ch, out_ch):
+        super().__init__()
+        self.conv1 = SBConv1d(in_ch, se_ch, 1)
+        self.conv2 = SBConv1d(se_ch, out_ch, 1)
+
+    def forward(self, x, mask):
+        n = mask.sum(dim=2, keepdim=True).clamp(min=1.0)
+        s = (x * mask).sum(dim=2, keepdim=True) / n
+        s = torch.relu(self.conv1(s))
+        s = torch.sigmoid(self.conv2(s))
+        return s * x
+
+
+class SBSERes2NetBlock(tnn.Module):
+    def __init__(self, in_ch, out_ch, scale, se_ch, k, dilation):
+        super().__init__()
+        self.tdnn1 = SBTDNNBlock(in_ch, out_ch, 1, 1)
+        self.res2net_block = SBRes2NetBlock(out_ch, out_ch, scale, k, dilation)
+        self.tdnn2 = SBTDNNBlock(out_ch, out_ch, 1, 1)
+        self.se_block = SBSEBlock(out_ch, se_ch, out_ch)
+
+    def forward(self, x, mask):
+        residual = x
+        x = self.tdnn1(x)
+        x = self.res2net_block(x)
+        x = self.tdnn2(x)
+        x = self.se_block(x, mask)
+        return x + residual
+
+
+class SBAttentiveStatisticsPooling(tnn.Module):
+    def __init__(self, ch, attn_ch):
+        super().__init__()
+        self.tdnn = SBTDNNBlock(ch * 3, attn_ch, 1, 1)
+        self.conv = SBConv1d(attn_ch, ch, 1)
+
+    def forward(self, x, mask):
+        n = mask.sum(dim=2, keepdim=True).clamp(min=1.0)
+        mean = (x * mask).sum(dim=2, keepdim=True) / n
+        var = ((x - mean) ** 2 * mask).sum(dim=2, keepdim=True) / n
+        std = var.clamp(min=1e-12).sqrt()
+        t = x.shape[2]
+        attn_in = torch.cat(
+            [x, mean.expand(-1, -1, t), std.expand(-1, -1, t)], dim=1
+        )
+        a = self.conv(torch.tanh(self.tdnn(attn_in)))
+        a = a.masked_fill(mask == 0, float("-inf")).softmax(dim=2)
+        mean = (a * x).sum(dim=2)
+        std = ((a * x * x).sum(dim=2) - mean**2).clamp(min=1e-12).sqrt()
+        return torch.cat([mean, std], dim=1).unsqueeze(2)
+
+
+class SBEcapaTdnn(tnn.Module):
+    """speechbrain.lobes.models.ECAPA_TDNN.ECAPA_TDNN layout; input
+    [B, T, n_mels], output [B, lin_neurons]."""
+
+    def __init__(self, n_mels=80, channels=(1024, 1024, 1024, 1024, 3072),
+                 kernel_sizes=(5, 3, 3, 3, 1), dilations=(1, 2, 3, 4, 1),
+                 attn_ch=128, res2net_scale=8, se_ch=128, lin_neurons=192):
+        super().__init__()
+        blocks = [SBTDNNBlock(n_mels, channels[0], kernel_sizes[0], dilations[0])]
+        for i in range(1, len(channels) - 1):
+            blocks.append(
+                SBSERes2NetBlock(channels[i - 1], channels[i], res2net_scale,
+                                 se_ch, kernel_sizes[i], dilations[i])
+            )
+        self.blocks = tnn.ModuleList(blocks)
+        self.mfa = SBTDNNBlock(sum(channels[1:-1]), channels[-1],
+                               kernel_sizes[-1], dilations[-1])
+        self.asp = SBAttentiveStatisticsPooling(channels[-1], attn_ch)
+        self.asp_bn = SBBatchNorm1d(channels[-1] * 2)
+        self.fc = SBConv1d(channels[-1] * 2, lin_neurons, 1)
+
+    def forward(self, feats, lens):
+        x = feats.transpose(1, 2)  # [B, C, T]
+        t = x.shape[2]
+        mask = (torch.arange(t)[None, :] < lens[:, None]).float()[:, None, :]
+        skips = []
+        for i, block in enumerate(self.blocks):
+            x = block(x) if i == 0 else block(x, mask)
+            if i > 0:
+                skips.append(x)
+        x = self.mfa(torch.cat(skips, dim=1))
+        x = self.asp(x, mask)
+        x = self.asp_bn(x)
+        x = self.fc(x)
+        return x.squeeze(2)
