@@ -67,6 +67,7 @@ class E2TTS(nn.Module):
             text_mask_padding=self.text_mask_padding,
             pe_attn_head=self.pe_attn_head,
             attn_backend=self.attn_backend,
+            dtype=self.dtype,
             name="backbone",
         )
 

@@ -9,7 +9,7 @@ halves); rotary embedding precomputed as static tables.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -54,25 +54,27 @@ class RMSNorm(nn.Module):
     def __call__(self, x):
         w = self.param("weight", nn.initializers.ones, (x.shape[-1],))
         var = jnp.mean(x.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
-        return (x * jnp.reciprocal(jnp.sqrt(var + self.eps)).astype(x.dtype)) * w
+        return (x * jnp.reciprocal(jnp.sqrt(var + self.eps)).astype(x.dtype)) * w.astype(x.dtype)
 
 
 class TimestepEmbedding(nn.Module):
     dim: int
     freq_embed_dim: int = 256
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, t):
         h = sinus_position_embedding(t, self.freq_embed_dim)
-        h = nn.Dense(self.dim, name="mlp1")(h)
+        h = nn.Dense(self.dim, dtype=self.dtype, name="mlp1")(h)
         h = nn.silu(h)
-        return nn.Dense(self.dim, name="mlp2")(h)
+        return nn.Dense(self.dim, dtype=self.dtype, name="mlp2")(h)
 
 
 class ConvPositionEmbedding(nn.Module):
     dim: int
     kernel_size: int = 31
     groups: int = 16
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, mask=None):
@@ -80,12 +82,12 @@ class ConvPositionEmbedding(nn.Module):
             x = x * mask[..., None]
         h = nn.Conv(
             self.dim, (self.kernel_size,), padding="SAME",
-            feature_group_count=self.groups, name="conv1",
+            feature_group_count=self.groups, dtype=self.dtype, name="conv1",
         )(x)
         h = mish(h)
         h = nn.Conv(
             self.dim, (self.kernel_size,), padding="SAME",
-            feature_group_count=self.groups, name="conv2",
+            feature_group_count=self.groups, dtype=self.dtype, name="conv2",
         )(h)
         h = mish(h)
         if mask is not None:
@@ -103,14 +105,15 @@ class E2Attention(nn.Module):
     pe_attn_head: Optional[int] = None
     dropout_rate: float = 0.1
     attn_backend: str = "xla"  # 'flash' = fused Pallas attention on TPU
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, freqs, mask=None, deterministic: bool = True):
         b, n, _ = x.shape
         inner = self.heads * self.dim_head
-        q = nn.Dense(inner, name="to_q")(x).reshape(b, n, self.heads, self.dim_head).transpose(0, 2, 1, 3)
-        k = nn.Dense(inner, name="to_k")(x).reshape(b, n, self.heads, self.dim_head).transpose(0, 2, 1, 3)
-        v = nn.Dense(inner, name="to_v")(x).reshape(b, n, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+        q = nn.Dense(inner, dtype=self.dtype, name="to_q")(x).reshape(b, n, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+        k = nn.Dense(inner, dtype=self.dtype, name="to_k")(x).reshape(b, n, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+        v = nn.Dense(inner, dtype=self.dtype, name="to_v")(x).reshape(b, n, self.heads, self.dim_head).transpose(0, 2, 1, 3)
 
         pn = self.pe_attn_head if self.pe_attn_head is not None else self.heads
         q = jnp.concatenate([apply_rope(q[:, :pn], freqs), q[:, pn:]], axis=1)
@@ -131,7 +134,7 @@ class E2Attention(nn.Module):
             attn = nn.softmax(scores, axis=-1)
             out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
-        out = nn.Dense(self.dim, name="to_out")(out)
+        out = nn.Dense(self.dim, dtype=self.dtype, name="to_out")(out)
         out = nn.Dropout(self.dropout_rate)(out, deterministic=deterministic)
         if mask is not None:
             out = out * mask[..., None].astype(out.dtype)
@@ -142,13 +145,14 @@ class E2FeedForward(nn.Module):
     dim: int
     mult: int = 4
     dropout_rate: float = 0.1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        h = nn.Dense(self.dim * self.mult, name="proj_in")(x)
+        h = nn.Dense(self.dim * self.mult, dtype=self.dtype, name="proj_in")(x)
         h = nn.gelu(h, approximate=True)
         h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
-        return nn.Dense(self.dim, name="proj_out")(h)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj_out")(h)
 
 
 class UNetT(nn.Module):
@@ -166,6 +170,9 @@ class UNetT(nn.Module):
     # 'flash' = fused Pallas attention on TPU: pads [time | mel] to the
     # kernel's 128-wide blocks (masked + sliced back)
     attn_backend: str = "xla"
+    # compute dtype (params stay f32; RMSNorm accumulates f32; final
+    # projection emits f32 for flow-matching loss stability)
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
@@ -182,7 +189,7 @@ class UNetT(nn.Module):
         b, n, _ = x.shape
         text_dim = self.mel_dim
 
-        t = TimestepEmbedding(self.dim, name="time_embed")(time)
+        t = TimestepEmbedding(self.dim, dtype=self.dtype, name="time_embed")(time)
 
         # ---- text embedding (reference TextEmbedding, unett.py:45-92) ----
         text_ids = text + 1  # 0 is the filler token (pad was -1)
@@ -193,20 +200,26 @@ class UNetT(nn.Module):
             text_ids = text_ids[:, :n]
         text_ids = jnp.where(drop_text[:, None], 0, text_ids)
         text_embed = nn.Embed(
-            self.text_num_embeds + 1, text_dim, name="text_embed"
+            self.text_num_embeds + 1, text_dim, dtype=self.dtype,
+            name="text_embed",
         )(text_ids.astype(jnp.int32))
         if self.text_mask_padding:
             text_embed = jnp.where((text_ids == 0)[..., None], 0.0, text_embed)
 
         # ---- input embedding ----
         cond = jnp.where(drop_audio_cond[:, None, None], 0.0, cond)
-        h = nn.Dense(self.dim, name="input_proj")(
-            jnp.concatenate([x, cond, text_embed], axis=-1)
+        h = nn.Dense(self.dim, dtype=self.dtype, name="input_proj")(
+            jnp.concatenate(
+                [x.astype(self.dtype), cond.astype(self.dtype), text_embed],
+                axis=-1,
+            )
         )
         # reference InputEmbedding runs ConvPositionEmbedding WITHOUT the
         # mask (unett.py:109) — padded frames hold noise, and the conv sees
         # them near utterance boundaries; keep identical for import parity
-        h = ConvPositionEmbedding(self.dim, name="conv_pos_embed")(h, None) + h
+        h = ConvPositionEmbedding(
+            self.dim, dtype=self.dtype, name="conv_pos_embed"
+        )(h, None) + h
 
         # prepend the time token
         h = jnp.concatenate([t[:, None, :], h], axis=1)  # [B, N+1, dim]
@@ -236,19 +249,24 @@ class UNetT(nn.Module):
             else:
                 skip = skips.pop()
                 if self.skip_connect_type == "concat":
-                    h = nn.Dense(self.dim, use_bias=False, name=f"skip_proj_{idx}")(
-                        jnp.concatenate([h, skip], axis=-1)
-                    )
+                    h = nn.Dense(
+                        self.dim, use_bias=False, dtype=self.dtype,
+                        name=f"skip_proj_{idx}",
+                    )(jnp.concatenate([h, skip], axis=-1))
                 elif self.skip_connect_type == "add":
                     h = h + skip
             h = E2Attention(
                 self.dim, self.heads, self.dim_head, self.pe_attn_head,
                 self.dropout_rate, attn_backend=self.attn_backend,
-                name=f"attn_{idx}",
+                dtype=self.dtype, name=f"attn_{idx}",
             )(RMSNorm(name=f"attn_norm_{idx}")(h), freqs, mask, deterministic) + h
             h = E2FeedForward(
-                self.dim, self.ff_mult, self.dropout_rate, name=f"ff_{idx}"
+                self.dim, self.ff_mult, self.dropout_rate, dtype=self.dtype,
+                name=f"ff_{idx}",
             )(RMSNorm(name=f"ff_norm_{idx}")(h), deterministic) + h
 
         h = RMSNorm(name="norm_out")(h)[:, 1:s_orig, :]
-        return nn.Dense(self.mel_dim, name="proj_out")(h)
+        # f32 output regardless of compute dtype (flow-matching MSE stability)
+        return nn.Dense(self.mel_dim, dtype=jnp.float32, name="proj_out")(
+            h.astype(jnp.float32)
+        )
