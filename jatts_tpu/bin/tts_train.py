@@ -101,6 +101,11 @@ def main():
     config.setdefault("model_params", {})
     model_params = dict(config["model_params"])
     model_params["idim"] = n_vocab
+    if isinstance(model_params.get("dtype"), str):
+        # yaml `dtype: bfloat16` -> jnp dtype (compute dtype; params stay f32)
+        import jax.numpy as jnp
+
+        model_params["dtype"] = jnp.dtype(model_params["dtype"])
 
     os.makedirs(args.outdir, exist_ok=True)
     dump_config(config, os.path.join(args.outdir, "config.yml"))

@@ -53,6 +53,7 @@ class E2TTS(nn.Module):
     # the XLA path has no attention-prob dropout either); off-TPU falls back
     attn_backend: str = "flash"
     dtype: Any = jnp.float32
+    use_remat: bool = False
 
     def setup(self):
         if self.backbone != "UNetT":
@@ -68,6 +69,7 @@ class E2TTS(nn.Module):
             pe_attn_head=self.pe_attn_head,
             attn_backend=self.attn_backend,
             dtype=self.dtype,
+            use_remat=self.use_remat,
             name="backbone",
         )
 

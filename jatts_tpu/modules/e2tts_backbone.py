@@ -173,6 +173,10 @@ class UNetT(nn.Module):
     # compute dtype (params stay f32; RMSNorm accumulates f32; final
     # projection emits f32 for flow-matching loss stability)
     dtype: Any = jnp.float32
+    # rematerialize each attention/FF block in the backward pass — trades
+    # ~1/3 recompute FLOPs for O(depth) activation memory; required for the
+    # full 8640-frame recipe budget at depth 24 on a 16 GB chip
+    use_remat: bool = False
 
     @nn.compact
     def __call__(
@@ -255,15 +259,24 @@ class UNetT(nn.Module):
                     )(jnp.concatenate([h, skip], axis=-1))
                 elif self.skip_connect_type == "add":
                     h = h + skip
-            h = E2Attention(
+            attn = E2Attention(
                 self.dim, self.heads, self.dim_head, self.pe_attn_head,
                 self.dropout_rate, attn_backend=self.attn_backend,
                 dtype=self.dtype, name=f"attn_{idx}",
-            )(RMSNorm(name=f"attn_norm_{idx}")(h), freqs, mask, deterministic) + h
-            h = E2FeedForward(
+            )
+            ff = E2FeedForward(
                 self.dim, self.ff_mult, self.dropout_rate, dtype=self.dtype,
                 name=f"ff_{idx}",
-            )(RMSNorm(name=f"ff_norm_{idx}")(h), deterministic) + h
+            )
+            attn_fn, ff_fn = E2Attention.__call__, E2FeedForward.__call__
+            if self.use_remat:
+                attn_fn = nn.remat(attn_fn, static_argnums=(4,))
+                ff_fn = nn.remat(ff_fn, static_argnums=(2,))
+            h = attn_fn(
+                attn, RMSNorm(name=f"attn_norm_{idx}")(h), freqs, mask,
+                deterministic,
+            ) + h
+            h = ff_fn(ff, RMSNorm(name=f"ff_norm_{idx}")(h), deterministic) + h
 
         h = RMSNorm(name="norm_out")(h)[:, 1:s_orig, :]
         # f32 output regardless of compute dtype (flow-matching MSE stability)
