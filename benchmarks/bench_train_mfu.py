@@ -21,7 +21,7 @@ PEAK_FLOPS = {"bf16": 394e12, "f32": 98e12}  # v5e-1 peak (CLAUDE.md)
 
 
 def _run_trainer_bench(model, loss_fn, kwargs_fn, batch, k, dtype_name,
-                       config_extra=None, quiet=False, n_rep=3):
+                       config_extra=None, quiet=False, n_rep=3, prime=2):
     import jax
 
     from jatts_tpu.train.trainer import Trainer
@@ -55,13 +55,16 @@ def _run_trainer_bench(model, loss_fn, kwargs_fn, batch, k, dtype_name,
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         if cost and cost.get("flops"):
-            flops_per_step = float(cost["flops"]) / k
+            # XLA cost_analysis counts a while/scan body ONCE regardless of
+            # trip count (verified: flops(k=5) == flops(k=20) == one body),
+            # so the K-step scan program's flops ARE the per-step flops.
+            flops_per_step = float(cost["flops"])
     except Exception as e:  # noqa: BLE001
         if not quiet:
             print(f"# cost_analysis unavailable: {str(e)[:120]}")
 
     state = trainer.state
-    for _ in range(2):  # compile + tunnel ramp-up priming
+    for _ in range(prime):  # compile + tunnel ramp-up priming
         state, stats = trainer.train_step_scan(state, stacked, trainer.rng, offsets)
         loss = float(stats["train/loss"])
     assert np.isfinite(loss), "non-finite training loss"

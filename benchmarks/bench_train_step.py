@@ -86,7 +86,10 @@ def run(dtype_name: str, k: int = 20, b: int = 32, t_text: int = 128,
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         if cost and cost.get("flops"):
-            flops_per_step = float(cost["flops"]) / k
+            # XLA cost_analysis counts a while/scan body ONCE regardless of
+            # trip count (verified: flops(k=5) == flops(k=20) == one body),
+            # so the K-step scan program's flops ARE the per-step flops.
+            flops_per_step = float(cost["flops"])
     except Exception as e:  # noqa: BLE001 — backend may not expose costs
         if not quiet:
             print(f"# cost_analysis unavailable: {str(e)[:120]}")
