@@ -148,13 +148,131 @@ def valle_k(k, b=32, prime=4, n_rep=2, **kw):
     return ms, mfu
 
 
+def attn_micro(b=4, h=16, dh=64, k=8):
+    """Crossover sweep: fused Pallas flash vs XLA materialized attention,
+    fwd-only (inference) and fwd+bwd (training), over sequence length.
+    Decides the 'auto' backend policy threshold."""
+    import jax
+    import jax.numpy as jnp
+
+    from jatts_tpu.modules.attention import _flash_attend
+
+    def xla_attn(q, kk, v):
+        e = jnp.einsum("bhid,bhjd->bhij", q, kk) * (dh**-0.5)
+        a = jax.nn.softmax(e, axis=-1)
+        return jnp.einsum("bhij,bhjd->bhid", a, v)
+
+    for n in (512, 1024, 2048, 4096):
+        q = jnp.asarray(np.random.randn(b, h, n, dh), jnp.bfloat16)
+        flops_f = 4 * b * h * n * n * dh  # qk + av
+
+        for name, f in (("xla", xla_attn),
+                        ("flash", lambda q, kk, v: _flash_attend(
+                            q, kk, v, None, None, dh**-0.5))):
+            @jax.jit
+            def fwd(q):
+                def body(c, _):
+                    o = f(c, c, c)
+                    return o * jnp.asarray(0.5, o.dtype) + c * 0.5, None
+                c, _ = jax.lax.scan(body, q, None, length=k)
+                return c.astype(jnp.float32).mean()[None]
+
+            @jax.jit
+            def fwdbwd(q):
+                def body(c, _):
+                    g = jax.grad(
+                        lambda x: (f(x, x, x).astype(jnp.float32) ** 2).mean()
+                    )(c)
+                    return c - g.astype(c.dtype), None
+                c, _ = jax.lax.scan(body, q, None, length=k)
+                return c.astype(jnp.float32).mean()[None]
+
+            _bench_scanned(fwd, (q,), flops_f, k, n_rep=2, prime=2,
+                           label=f"attn fwd  n={n} {name}")
+            _bench_scanned(fwdbwd, (q,), 3 * flops_f, k, n_rep=2, prime=2,
+                           label=f"attn f+b  n={n} {name}")
+
+
+def flash_parity(b=2, h=4, t=256, dh=64):
+    """On-device check: unpadded dh<128 flash == XLA attention (causal+mask)."""
+    import jax
+    import jax.numpy as jnp
+
+    from jatts_tpu.modules.attention import _flash_attend
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((b, h, t, dh)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, t, dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, t, dh)), jnp.float32)
+    mask = jnp.asarray(np.arange(t)[None, :] < np.array([[t], [t - 37]]))
+    pad = jnp.zeros((b, h, t, 128 - dh), jnp.float32)
+    for causal in (False, True):
+        out = jax.jit(lambda q, k, v: _flash_attend(
+            q, k, v, None, mask, dh**-0.5, causal=causal))(q, k, v)
+        # manually pre-padded to 128 -> exercises the kernel's padded config
+        out_padded = jax.jit(lambda q, k, v: _flash_attend(
+            jnp.concatenate([q, pad], -1), jnp.concatenate([k, pad], -1),
+            jnp.concatenate([v, pad], -1), None, mask, dh**-0.5,
+            causal=causal))(q, k, v)[..., :dh]
+
+        def ref(q, k, v):
+            e = jnp.einsum("bhid,bhjd->bhij", q, k) * dh**-0.5
+            m2 = mask[:, None, None, :] & mask[:, None, :, None]
+            if causal:
+                m2 = m2 & jnp.tril(jnp.ones((t, t), bool))[None, None]
+            a = jax.nn.softmax(jnp.where(m2, e, -1e9), axis=-1)
+            return jnp.einsum("bhij,bhjd->bhid", a, v)
+
+        want = jax.jit(ref)(q, k, v)
+        valid = np.asarray(mask)[:, None, :, None] & np.ones((b, h, t, dh), bool)
+        err_pad = float(jnp.max(jnp.abs(jnp.where(valid, out - out_padded, 0.0))))
+        err_xla = float(jnp.max(jnp.abs(jnp.where(valid, out - want, 0.0))))
+        print(f"flash_parity dh={dh} causal={causal}: vs_padded={err_pad:.2e} "
+              f"vs_xla={err_xla:.2e}")
+        # unpadded must match the padded kernel bit-for-bit-ish; vs XLA the
+        # bound is MXU default-precision (bf16-truncated) noise
+        assert err_pad < 1e-6, "flash unpadded != padded kernel"
+        # both paths bf16-truncate in the MXU (TPU default precision) with
+        # different accumulation orders; causal rows with few valid keys
+        # amplify the noise
+        assert err_xla < 2e-2, "flash vs XLA out of tolerance"
+
+
 def main():
     stages = sys.argv[1:] or ["ceiling", "skeleton", "valle_k5", "valle_k20"]
     for st in stages:
-        if st == "ceiling":
+        if st == "flash_parity":
+            flash_parity()
+        elif st == "attn_micro":
+            attn_micro()
+        elif st == "ceiling":
             ceiling()
         elif st == "skeleton":
             skeleton()
+        elif st == "valle_b16":
+            # remat cost: B=16 fits WITHOUT remat; compare 2x this vs B=32+remat
+            print("# valle b16 no-remat:")
+            valle_k(5, b=16, use_remat=False)
+        elif st == "valle_b16_remat":
+            print("# valle b16 remat:")
+            valle_k(5, b=16, use_remat=True)
+        elif st == "valle_nodrop":
+            print("# valle b32 remat p_dropout=0:")
+            valle_k(5, b=32, use_remat=True, p_dropout=0.0)
+        elif st == "valle_xla_attn":
+            print("# valle b16 no-remat xla attention:")
+            valle_k(5, b=16, use_remat=False, attn_backend="xla")
+        elif st == "valle_b16_flash":
+            print("# valle b16 no-remat flash (dh64 unpadded):")
+            valle_k(5, b=16, use_remat=False, attn_backend="flash")
+        elif st == "valle_b32_xla_remat":
+            print("# valle b32 remat xla attention:")
+            valle_k(5, b=32, use_remat=True, attn_backend="xla")
+        elif st.startswith("e2tts_"):
+            from benchmarks.bench_train_mfu import run_e2tts
+            backend = st[len("e2tts_"):]
+            print(f"# e2tts b8 {backend} attention:")
+            run_e2tts(attn_backend=backend)
         elif st.startswith("valle_k"):
             valle_k(int(st[len("valle_k"):]))
         else:

@@ -80,7 +80,7 @@ def _run_trainer_bench(model, loss_fn, kwargs_fn, batch, k, dtype_name,
 
 
 def run_valle(b=32, tx=64, tp=225, tr=600, k=5, d_model=1024, n_heads=16,
-              n_layers=12, use_remat=True, quiet=False):
+              n_layers=12, use_remat=True, quiet=False, **model_kw):
     """VALL-E AR at the recipe size (valle_ar.given.bs128.4chips.yaml per-chip
     slice: per-device batch 32, d1024/16H/12L, packed seq ~891 -> flash pads
     to 1024; remat required for B=32 on a 16 GB chip)."""
@@ -90,7 +90,8 @@ def run_valle(b=32, tx=64, tp=225, tr=600, k=5, d_model=1024, n_heads=16,
     from jatts_tpu.train.steps_valle import valle_kwargs, valle_loss
 
     model = VALLEAR(idim=0, n_tokens=1024, d_model=d_model, n_heads=n_heads,
-                    n_layers=n_layers, dtype=jnp.bfloat16, use_remat=use_remat)
+                    n_layers=n_layers, dtype=jnp.bfloat16, use_remat=use_remat,
+                    **model_kw)
     rng = np.random.default_rng(0)
     batch = {
         "text": rng.integers(0, 1024, (b, tx)).astype(np.int32),
@@ -111,7 +112,7 @@ def run_valle(b=32, tx=64, tp=225, tr=600, k=5, d_model=1024, n_heads=16,
 
 
 def run_e2tts(b=8, n=1024, k=5, dim=1024, depth=24, heads=16,
-              use_remat=False, quiet=False):
+              use_remat=False, quiet=False, **model_kw):
     """E2-TTS at the recipe size (e2tts.v1 per-chip per-step frame budget
     8640 ~= B8 x N1024, UNetT d1024/24L/16H, flash attention default;
     use_remat=True fits 2x the budget on one 16 GB chip)."""
@@ -121,7 +122,7 @@ def run_e2tts(b=8, n=1024, k=5, dim=1024, depth=24, heads=16,
     from jatts_tpu.train.steps_e2tts import e2tts_kwargs, e2tts_loss
 
     model = E2TTS(idim=64, odim=80, dim=dim, depth=depth, heads=heads,
-                  dtype=jnp.bfloat16, use_remat=use_remat)
+                  dtype=jnp.bfloat16, use_remat=use_remat, **model_kw)
     rng = np.random.default_rng(0)
     batch = {
         "xs": rng.integers(0, 64, (b, 128)).astype(np.int32),

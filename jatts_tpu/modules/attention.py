@@ -101,7 +101,12 @@ def _flash_attend(q, k, v, ab, mask, sm_scale, causal=False):
 
     d_qk = q.shape[-1]
     d_v = v.shape[-1]
-    width = d_qk + (-d_qk % 128)  # lane-dim alignment: zero-pad head dim
+    # the kernel handles head_dim < 128 natively (it slices the lane dim:
+    # pallas ops flash_attention `if head_dim_repeats == 0`); only head dims
+    # ABOVE 128 must be padded to a multiple of 128. Unconditional 64->128
+    # padding doubled the attention FLOPs for d_head 64 models.
+    d = max(d_qk, d_v)
+    width = d if d <= 128 else d + (-d % 128)
 
     def pad_to(x):
         p = width - x.shape[-1]

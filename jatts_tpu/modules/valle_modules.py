@@ -50,15 +50,18 @@ class AdaLN(nn.Module):
     eps: float = 1e-5
     k: float = 0.1
     c: float = 2.0
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, level):
         emb = nn.Embed(
-            self.n_levels, self.d_model * 2,
+            self.n_levels, self.d_model * 2, dtype=self.dtype,
             embedding_init=nn.initializers.zeros, name="emb",
         )(level)  # [B, 2d]
         log_gamma, beta = jnp.split(emb[:, None, :], 2, axis=-1)
-        h = nn.LayerNorm(epsilon=self.eps, use_bias=False, use_scale=False)(x)
+        h = nn.LayerNorm(
+            epsilon=self.eps, use_bias=False, use_scale=False, dtype=self.dtype
+        )(x)
         h = self.c * (1.0 - jax.lax.stop_gradient(self.k * h)) * h
         return jnp.exp(log_gamma) * h + beta
 
@@ -157,11 +160,22 @@ class VALLEBlock(nn.Module):
             attn_backend=self.attn_backend, dtype=self.dtype, name="attn",
         )
         if self.norm_type == "adaln":
-            self.norm_attn = AdaLN(self.d_model, self.n_levels, name="norm_attn")
-            self.norm_ffn = AdaLN(self.d_model, self.n_levels, name="norm_ffn")
+            self.norm_attn = AdaLN(
+                self.d_model, self.n_levels, dtype=self.dtype, name="norm_attn"
+            )
+            self.norm_ffn = AdaLN(
+                self.d_model, self.n_levels, dtype=self.dtype, name="norm_ffn"
+            )
         else:
-            self.norm_attn = nn.LayerNorm(epsilon=1e-5, name="norm_attn")
-            self.norm_ffn = nn.LayerNorm(epsilon=1e-5, name="norm_ffn")
+            # dtype: keep the LN output in compute dtype (stats still f32
+            # internally) — an unset dtype promotes bf16 x with the f32
+            # scale/bias into f32 [B,S,D] HBM writes twice per block
+            self.norm_attn = nn.LayerNorm(
+                epsilon=1e-5, dtype=self.dtype, name="norm_attn"
+            )
+            self.norm_ffn = nn.LayerNorm(
+                epsilon=1e-5, dtype=self.dtype, name="norm_ffn"
+            )
         self.ffn_in = nn.Dense(self.d_model * 4, dtype=self.dtype, name="ffn_in")
         self.ffn_out = nn.Dense(self.d_model, dtype=self.dtype, name="ffn_out")
         self.drop = nn.Dropout(self.p_dropout)

@@ -35,6 +35,7 @@ REFERENCE_ROOT = "/root/reference"
 
 
 _STUBBED_TOPS: set = set()
+_CREATED_STUBS: list = []  # sys.modules keys we inserted, for removal
 
 
 def _ensure_stub(name: str, attrs: dict) -> None:
@@ -54,6 +55,7 @@ def _ensure_stub(name: str, attrs: dict) -> None:
         if mod_name not in sys.modules:
             mod = types.ModuleType(mod_name)
             sys.modules[mod_name] = mod
+            _CREATED_STUBS.append(mod_name)
             if i > 1:
                 setattr(sys.modules[".".join(parts[: i - 1])], parts[i - 1], mod)
     for k, v in attrs.items():
@@ -175,4 +177,16 @@ def load_reference(module: str):
     _install_stubs()
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
-    return importlib.import_module(f"jatts.{module}")
+    try:
+        return importlib.import_module(f"jatts.{module}")
+    finally:
+        # confine stub visibility to the import window: a lingering fake
+        # ``librosa`` with ``__spec__ = None`` makes any later
+        # ``importlib.util.find_spec("librosa")`` (e.g. transformers'
+        # availability probes) raise ValueError. The already-imported
+        # reference modules keep their bound references; the next
+        # load_reference() call re-installs.
+        for mod_name in _CREATED_STUBS:
+            sys.modules.pop(mod_name, None)
+        _CREATED_STUBS.clear()
+        _STUBBED_TOPS.clear()
