@@ -79,11 +79,11 @@ def _run_trainer_bench(model, loss_fn, kwargs_fn, batch, k, dtype_name,
     return dt * 1e3, mfu, flops_per_step
 
 
-def run_valle(b=32, tx=64, tp=225, tr=600, k=5, d_model=1024, n_heads=16,
-              n_layers=12, use_remat=True, quiet=False, **model_kw):
+def run_valle(b=16, tx=64, tp=225, tr=600, k=5, d_model=1024, n_heads=16,
+              n_layers=12, use_remat=False, quiet=False, **model_kw):
     """VALL-E AR at the recipe size (valle_ar.given.bs128.4chips.yaml per-chip
-    slice: per-device batch 32, d1024/16H/12L, packed seq ~891 -> flash pads
-    to 1024; remat required for B=32 on a 16 GB chip)."""
+    per-accum-step slice: batch 16 x accum 2, d1024/16H/12L, packed seq ~891;
+    XLA attention default — measured 2x over batch-32 + remat)."""
     import jax.numpy as jnp
 
     from jatts_tpu.models.valle import VALLEAR

@@ -49,9 +49,11 @@ class E2TTS(nn.Module):
     audio_drop_prob: float = 0.3
     cond_drop_prob: float = 0.2
     frac_lengths_mask: Tuple[float, float] = (0.7, 1.0)
-    # 'flash' (default) = fused Pallas attention on TPU (no semantic delta:
-    # the XLA path has no attention-prob dropout either); off-TPU falls back
-    attn_backend: str = "flash"
+    # 'xla' (default): measured faster than the stock Pallas flash kernel at
+    # every S<=4096 on v5e-1 (e2tts train 264.1 vs 575.4 ms/step at the
+    # recipe size — benchmarks/bench_flagship_profile.py); 'flash' stays
+    # opt-in for memory-bound long-S cases. No semantic delta either way.
+    attn_backend: str = "xla"
     dtype: Any = jnp.float32
     use_remat: bool = False
 

@@ -113,12 +113,14 @@ class VALLEBase(nn.Module):
     # activation checkpointing over blocks (reference wraps attention in
     # torch.utils.checkpoint, valle/modules.py:212,233-237)
     use_remat: bool = False
-    # 'flash' (default) = fused Pallas attention on TPU: the [B,H,S,S] score
-    # tensors (the dominant HBM cost at S~1.5k) never materialize — measured
-    # 6.55x on fwd+bwd at B=8, S~1019 on v5e-1. No semantic delta: VALL-E's
-    # XLA path has no attention-prob dropout. Off-TPU (and for decode_step's
-    # KV-cached single-token path) the trace-time gate falls back to XLA.
-    attn_backend: str = "flash"
+    # 'xla' (default): round-3 sweeps (benchmarks/bench_flagship_profile.py)
+    # measured XLA materialized attention FASTER than the stock Pallas flash
+    # kernel at EVERY S<=4096 on v5e-1 (kernel caps at ~8 TFLOP/s through
+    # this toolchain vs 26 for XLA; train step 209.8 vs 361.7 ms at B=16).
+    # 'flash' remains opt-in for memory-bound long-S cases; either way the
+    # KV-cached decode_step path and off-TPU runs use XLA. No semantic
+    # delta: neither path applies attention-prob dropout.
+    attn_backend: str = "xla"
 
     @property
     def stop_token(self) -> int:
