@@ -33,12 +33,17 @@ def main():
             c = _contour(kind, n, base)
             wav = synth_speechlike(c, seed=base)
             f0 = np.asarray(estimate_f0(wav, SR, HOP, f0min=70.0, f0max=600.0))
+            f0r = np.asarray(
+                estimate_f0(wav, SR, HOP, f0min=70.0, f0max=600.0, refine=True)
+            )
             truth = c[np.clip(np.arange(len(f0)) * HOP, 0, n - 1)]
             vde, gross, rmse = _metrics(f0, truth)
+            _, _, rmse_r = _metrics(f0r, truth)
             print(json.dumps({
                 "case": f"{kind}_{base}Hz", "snr_db": 25,
                 "gross_error_pct": round(gross * 100, 2),
                 "fine_rmse_hz": round(rmse, 3),
+                "fine_rmse_hz_stonemask": round(rmse_r, 3),
                 "voicing_err_pct": round(vde * 100, 2),
             }))
     t = np.arange(n) / SR

@@ -114,7 +114,7 @@ def run_valle(b=16, tx=64, tp=225, tr=600, k=5, d_model=1024, n_heads=16,
 def run_e2tts(b=8, n=1024, k=5, dim=1024, depth=24, heads=16,
               use_remat=False, quiet=False, **model_kw):
     """E2-TTS at the recipe size (e2tts.v1 per-chip per-step frame budget
-    8640 ~= B8 x N1024, UNetT d1024/24L/16H, flash attention default;
+    8640 ~= B8 x N1024, UNetT d1024/24L/16H, XLA attention default;
     use_remat=True fits 2x the budget on one 16 GB chip)."""
     import jax.numpy as jnp
 

@@ -52,7 +52,8 @@ class E2TTS(nn.Module):
     # 'xla' (default): measured faster than the stock Pallas flash kernel at
     # every S<=4096 on v5e-1 (e2tts train 264.1 vs 575.4 ms/step at the
     # recipe size — benchmarks/bench_flagship_profile.py); 'flash' stays
-    # opt-in for memory-bound long-S cases. No semantic delta either way.
+    # opt-in for memory-bound long-S cases ('auto' = flash only at S>4096).
+    # No semantic delta either way.
     attn_backend: str = "xla"
     dtype: Any = jnp.float32
     use_remat: bool = False

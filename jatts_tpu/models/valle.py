@@ -117,9 +117,10 @@ class VALLEBase(nn.Module):
     # measured XLA materialized attention FASTER than the stock Pallas flash
     # kernel at EVERY S<=4096 on v5e-1 (kernel caps at ~8 TFLOP/s through
     # this toolchain vs 26 for XLA; train step 209.8 vs 361.7 ms at B=16).
-    # 'flash' remains opt-in for memory-bound long-S cases; either way the
-    # KV-cached decode_step path and off-TPU runs use XLA. No semantic
-    # delta: neither path applies attention-prob dropout.
+    # 'flash' remains opt-in for memory-bound long-S cases ('auto' applies
+    # exactly that policy: flash only at S>4096); either way the KV-cached
+    # decode_step path and off-TPU runs use XLA. No semantic delta: neither
+    # path applies attention-prob dropout.
     attn_backend: str = "xla"
 
     @property

@@ -70,10 +70,18 @@ def _attend(scores, v, mask, dropout_rate, deterministic):
 def _flash_ok(backend: str, mask, t_q: int, t_k: int) -> bool:
     """Trace-time gate for the fused-attention path: TPU-class backend,
     128-divisible sequence lengths (kernel block size), and a per-key
-    padding mask (segment ids cannot express arbitrary [B, Tq, Tk] masks)."""
+    padding mask (segment ids cannot express arbitrary [B, Tq, Tk] masks).
+
+    backend='auto' picks XLA for S<=4096 — measured faster than the stock
+    Pallas kernel at every such length on v5e-1
+    (benchmarks/bench_flagship_profile.py attn_micro) — and flash beyond,
+    where the materialized [B,H,S,S] tensors become HBM-prohibitive."""
     import jax
 
-    if backend != "flash":
+    if backend == "auto":
+        if t_k <= 4096:
+            return False
+    elif backend != "flash":
         return False
     if jax.default_backend() not in ("tpu", "axon"):
         return False

@@ -2,12 +2,34 @@
 
 The reference uses pyworld DIO+StoneMask on the CPU per utterance
 (jatts/modules/feature_extract/dio.py:21-159). pyworld is a C extension and
-inherently sequential; here f0 is a batched frame-wise normalized
-autocorrelation (NCCF, RAPT-family) computed with FFTs on device:
+inherently sequential; here the same two-stage design runs batched on device:
+
+Stage 1 (coarse, replaces DIO): frame-wise normalized autocorrelation
+(NCCF, RAPT-family) computed with FFTs:
 
   frame -> remove DC -> FFT autocorrelation -> normalize by energy ->
   restrict lag to [sr/f0max, sr/f0min] -> peak + parabolic interpolation ->
   voicing decision (NCCF threshold) -> median smoothing.
+
+Stage 2 (refinement, the reference's StoneMask stage, OPT-IN): per frame, a
+Blackman window sized 3/f0 is centered on the frame; the instantaneous
+frequency at each of the first 6 harmonics of the coarse estimate is
+computed by spectral reassignment (two windowed DFTs — main window and its
+analytic derivative — evaluated at the exact harmonic frequencies, not
+rounded FFT bins), two-stage as in WORLD's GetTentativeF0, and the refined
+f0 is the amplitude-weighted average of if_k / k. Deliberate deltas vs
+WORLD stonemask.cpp: continuous-frequency DFTs instead of nearest-bin
+lookups (static-shape friendly and bin-quantization-free), and
+implausible/boundary-frame refinements fall back to the coarse value
+instead of zeroing the frame.
+
+Why refine defaults OFF (measured, docs/f0_accuracy.md + tests): WORLD
+needs StoneMask because DIO's coarse stage is noisy; the NCCF stage here
+is already at 0.04-4.3 Hz fine RMSE on known-truth signals. Refinement
+wins exactly where coarse error is largest (pure tones 0.12 -> 0.02 Hz;
+low-f0 vibrato ~2x better interior tracking) and loses where NCCF is
+near-exact (flat pulse trains, high-f0 sweeps) — so it ships as an opt-in
+stage with pinned bounds rather than a default.
 
 This is the whole-corpus-on-TPU path the BASELINE north-star asks for
 ("pitch extraction becomes a jitted XLA op").
@@ -24,7 +46,105 @@ import numpy as np
 
 @functools.partial(
     jax.jit,
-    static_argnames=("fs", "hop", "frame_length", "f0min", "f0max", "threshold"),
+    static_argnames=("fs", "hop", "f0min", "n_harmonics"),
+)
+def stonemask_refine(
+    audio: jnp.ndarray,
+    f0: jnp.ndarray,
+    fs: int,
+    hop: int,
+    f0min: float = 40.0,
+    n_harmonics: int = 6,
+) -> jnp.ndarray:
+    """Refine a coarse f0 track by harmonic instantaneous frequency (the
+    reference's StoneMask stage, dio.py:110 `pyworld.stonemask`; WORLD
+    stonemask.cpp GetRefinedF0 — see module docstring for the deltas).
+
+    ``audio [T], f0 [n_frames] (0 = unvoiced) -> refined f0 [n_frames]``.
+    Frame i is centered on sample ``i * hop`` (the NCCF frame convention).
+    """
+    n_frames = f0.shape[0]
+    # static segment length bounds the 3/f0 Blackman window at f0min
+    half = int(1.5 * fs / f0min) + 1
+    # reflect (not zero) padding: keeps pseudo-periodic structure at the
+    # signal edges — zero padding biased boundary-frame IF by up to ~10 Hz
+    x = jnp.pad(audio.astype(jnp.float32), (half, half), mode="reflect")
+    centers = jnp.arange(n_frames) * hop
+    seg = x[centers[:, None] + jnp.arange(2 * half + 1)[None, :]]  # [N, L]
+    t = (jnp.arange(2 * half + 1) - half) / fs  # [L] seconds from center
+
+    voiced = f0 > 0
+    f0safe = jnp.where(voiced, jnp.maximum(f0, f0min), 100.0)  # [N]
+    w_dur = 3.0 / f0safe  # Blackman support [-1.5/f0, 1.5/f0]
+    phase = 2.0 * jnp.pi * t[None, :] / w_dur[:, None]  # [N, L]
+    in_win = jnp.abs(t)[None, :] <= (1.5 / f0safe)[:, None]
+    win = jnp.where(in_win, 0.42 + 0.5 * jnp.cos(phase) + 0.08 * jnp.cos(2 * phase), 0.0)
+    # analytic window derivative d(win)/dt  [1/s]
+    dwin = jnp.where(
+        in_win,
+        -(2.0 * jnp.pi / w_dur[:, None])
+        * (0.5 * jnp.sin(phase) + 0.16 * jnp.sin(2 * phase)),
+        0.0,
+    )
+    xw = seg * win  # [N, L]
+    xdw = seg * dwin
+
+    def fix_f0(base, n_harm):
+        """WORLD FixF0: amplitude-weighted mean of if_k / k over the first
+        ``n_harm`` harmonics of the per-frame base frequency ``base`` [N]
+        (the window — hence xw/xdw — stays the one sized by the INITIAL
+        estimate, as in stonemask.cpp GetTentativeF0)."""
+
+        def harmonic(k):
+            freq = k * base  # [N]
+            ang = 2.0 * jnp.pi * freq[:, None] * t[None, :]  # [N, L]
+            c, s = jnp.cos(ang), jnp.sin(ang)
+            # S(f) = sum x e^{-j 2 pi f t}: re = sum x c, im = -sum x s
+            re_m = jnp.sum(xw * c, axis=1)
+            im_m = -jnp.sum(xw * s, axis=1)
+            re_d = jnp.sum(xdw * c, axis=1)
+            im_d = -jnp.sum(xdw * s, axis=1)
+            power = re_m * re_m + im_m * im_m
+            # x(t)=A e^{j2pi f0 t}: Im(S_{w'} conj(S_w)) = 2pi (f-f0) |S_w|^2
+            f_inst = freq - (im_d * re_m - re_d * im_m) / (
+                2.0 * jnp.pi * jnp.maximum(power, 1e-20)
+            )
+            amp = jnp.sqrt(jnp.maximum(power, 0.0))
+            # harmonics above Nyquist contribute nothing
+            ok = freq < 0.5 * fs
+            return jnp.where(ok, amp, 0.0), jnp.where(ok, f_inst, 0.0)
+
+        ks = jnp.arange(1, n_harm + 1, dtype=jnp.float32)
+        amps, f_insts = jax.lax.map(harmonic, ks)  # [K, N] each
+        num = jnp.sum(amps * f_insts, axis=0)
+        den = jnp.sum(amps * ks[:, None], axis=0)
+        return num / jnp.maximum(den, 1e-12)
+
+    # two-stage as in WORLD GetTentativeF0: a 2-harmonic pass re-centers the
+    # harmonic comb, then the 6-harmonic pass samples at the tentative f0
+    tentative = fix_f0(f0safe, 2)
+    tentative_ok = (tentative > 0.0) & (tentative <= 2.0 * f0safe)
+    tentative = jnp.where(tentative_ok, tentative, f0safe)
+    refined = fix_f0(tentative, n_harmonics)
+    # WORLD zeroes implausible refinements; falling back to the coarse value
+    # is kinder to continuous-f0 interpolation (documented delta)
+    ok = tentative_ok & (jnp.abs(refined - f0safe) <= 0.2 * f0safe)
+    # boundary frames whose window hangs off the signal see reflected
+    # (time-reversed) samples — the reassignment IF is biased there by up
+    # to ~10 Hz; keep the coarse value for those frames
+    margin = 1.5 * fs / f0safe
+    interior = (centers.astype(jnp.float32) >= margin) & (
+        centers.astype(jnp.float32) <= audio.shape[0] - 1 - margin
+    )
+    refined = jnp.where(ok & interior, refined, f0safe)
+    return jnp.where(voiced, refined, 0.0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "fs", "hop", "frame_length", "f0min", "f0max", "threshold", "refine",
+    ),
 )
 def estimate_f0(
     audio: jnp.ndarray,
@@ -34,9 +154,12 @@ def estimate_f0(
     f0min: float = 40.0,
     f0max: float = 400.0,
     threshold: float = 0.35,
+    refine: bool = False,
 ) -> jnp.ndarray:
     """``[T] -> [n_frames]`` f0 in Hz, 0 for unvoiced. n_frames = 1 + T//hop
-    (matches the mel frame count convention)."""
+    (matches the mel frame count convention). ``refine=True`` applies the
+    StoneMask stage to the coarse NCCF track (off by default — see the
+    module docstring for the measured accuracy trade)."""
     t = audio.shape[0]
     n_frames = 1 + t // hop
     pad = frame_length // 2
@@ -81,6 +204,8 @@ def estimate_f0(
     f0_pad = jnp.pad(f0, (1, 1), mode="edge")
     stacked = jnp.stack([f0_pad[:-2], f0_pad[1:-1], f0_pad[2:]], axis=0)
     f0 = jnp.median(stacked, axis=0)
+    if refine:
+        f0 = stonemask_refine(audio, f0, fs, hop, f0min=f0min)
     return f0
 
 

@@ -86,6 +86,47 @@ def test_f0_known_truth_accuracy(kind, base):
     assert vde < 0.02, f"voicing errors on fully-voiced signal: {vde}"
 
 
+def test_stonemask_refine_wins_where_coarse_is_noisy():
+    """The opt-in StoneMask stage (ops/pitch.py stonemask_refine, the
+    reference's dio.py:110 second stage) must beat the coarse NCCF track
+    exactly where coarse error is largest: harmonic tones (lag-quantization
+    limited) and low-f0 vibrato (within-frame modulation). Interior frames
+    only — boundary frames deliberately keep the coarse value."""
+    from jatts_tpu.ops.pitch import stonemask_refine
+
+    inner = slice(4, -4)
+
+    # harmonic-rich steady tone: refinement must cut RMSE several-fold
+    true = 110.3
+    t = np.arange(2 * SR) / SR
+    sig = sum(
+        (0.6 / k) * np.sin(2 * np.pi * true * k * t + 0.3 * k) for k in range(1, 5)
+    )
+    sig += 0.01 * np.random.default_rng(0).standard_normal(len(t))
+    wav = sig.astype(np.float32)
+    f0c = np.asarray(estimate_f0(wav, SR, HOP, f0min=70.0, f0max=600.0))
+    f0r = np.asarray(stonemask_refine(wav, f0c, SR, HOP, f0min=70.0))
+    rc = float(np.sqrt(np.mean((f0c[inner] - true) ** 2)))
+    rr = float(np.sqrt(np.mean((f0r[inner] - true) ** 2)))
+    assert rr < 0.1, f"refined tone RMSE {rr}"
+    assert rr < 0.5 * rc, f"refinement did not improve: {rc} -> {rr}"
+
+    # low-f0 vibrato speech-like: refined interior tracking ~2x better
+    n = SR
+    c = _contour("vibrato", n, 90)
+    wav = synth_speechlike(c, seed=90)
+    truth = c[np.clip(np.arange(1 + n // HOP) * HOP, 0, n - 1)]
+    f0c = np.asarray(estimate_f0(wav, SR, HOP, f0min=70.0, f0max=600.0))
+    f0r = np.asarray(stonemask_refine(wav, f0c, SR, HOP, f0min=70.0))
+    rc = float(np.sqrt(np.mean((f0c[inner] - truth[inner]) ** 2)))
+    rr = float(np.sqrt(np.mean((f0r[inner] - truth[inner]) ** 2)))
+    assert rr < 0.5, f"refined vibrato RMSE {rr}"
+    assert rr < rc, f"refinement did not improve vibrato: {rc} -> {rr}"
+
+    # unvoiced frames must stay unvoiced through refinement
+    assert ((f0c == 0) == (f0r == 0)).all()
+
+
 @pytest.mark.parametrize("snr_db", [25, 10])
 def test_f0_voicing_decision_with_unvoiced_gap(snr_db):
     n = SR

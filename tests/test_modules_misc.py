@@ -102,3 +102,21 @@ def test_attn_backend_flash_falls_back_on_cpu():
     a = m_x.apply(v, x, x, x, pos, mask, deterministic=True)
     c = m_f.apply(v, x, x, x, pos, mask, deterministic=True)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_attn_backend_auto_policy(monkeypatch):
+    """'auto' = XLA at S<=4096 (measured faster on v5e-1), flash beyond —
+    the length gate applies before the platform gate, so short sequences
+    resolve to XLA even on TPU."""
+    import jax
+
+    from jatts_tpu.modules import attention
+
+    # short sequences: XLA regardless of platform
+    assert not attention._flash_ok("auto", None, 128, 128)
+    assert not attention._flash_ok("auto", None, 4096, 4096)
+    # long sequences: flash — but only on a TPU-class backend
+    assert not attention._flash_ok("auto", None, 8192, 8192)  # CPU here
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert attention._flash_ok("auto", None, 8192, 8192)
+    assert not attention._flash_ok("auto", None, 4096, 4096)
