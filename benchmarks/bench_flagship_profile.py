@@ -148,6 +148,107 @@ def valle_k(k, b=32, prime=4, n_rep=2, **kw):
     return ms, mfu
 
 
+def valle_bisect(b=16, s=896, d=1024, h=16, layers=12, k=5):
+    """Decompose the VALL-E AR step's MFU gap vs its matmul skeleton.
+
+    Ladder (all fwd+bwd+sgd, same scanned harness, XLA-counted FLOPs):
+      skeleton    — matmul-only transformer (bench stage `skeleton` at B16)
+      blocks      — real VALLEBlock stack (adds LN/bias/mask/softmax/dropout)
+      blocks_nodrop — same with p_dropout=0 (isolates dropout)
+      trunk       — full VALLEAR.trunk (adds embeds, pack gathers, classifier)
+    Compare with the full trainer step (`valle_b16`: adds CE + AdamW + clip).
+    """
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+
+    from jatts_tpu.models.valle import VALLEAR
+    from jatts_tpu.modules.valle_modules import VALLEBlock
+
+    rng = np.random.default_rng(0)
+    drop_key = jax.random.key(1, impl="rbg")  # recipe rng_impl
+
+    def bench_sgd(label, init_params, loss_fn, extra_args=()):
+        @jax.jit
+        def run(params, *args):
+            def body(c, _):
+                p = c
+                g = jax.grad(loss_fn)(p, *args)
+                p = jax.tree_util.tree_map(
+                    lambda a, b_: a - jnp.asarray(1e-6, a.dtype) * b_, p, g
+                )
+                return p, None
+            p, _ = jax.lax.scan(body, params, None, length=k)
+            leaf = jax.tree_util.tree_leaves(p)[0]
+            return leaf.astype(jnp.float32).sum()[None]
+
+        flops = None
+        try:
+            cost = run.lower(init_params, *extra_args).compile().cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            if cost and cost.get("flops"):
+                flops = float(cost["flops"])  # scan body counted once
+        except Exception as e:  # noqa: BLE001
+            print(f"# cost_analysis failed: {str(e)[:100]}")
+        _bench_scanned(run, (init_params, *extra_args), flops or 0.0, k,
+                       n_rep=2, prime=3, label=label)
+
+    class BlocksOnly(nn.Module):
+        p_drop: float = 0.1
+
+        @nn.compact
+        def __call__(self, x, m, deterministic=False):
+            for i in range(layers):
+                x = VALLEBlock(d, h, self.p_drop, True, "ln", 1,
+                               attn_backend="xla", dtype=jnp.bfloat16,
+                               name=f"b{i}")(x, m, None,
+                                             deterministic=deterministic)
+            return x
+
+    x = jnp.asarray(rng.standard_normal((b, s, d)), jnp.bfloat16)
+    m = jnp.ones((b, s, 1), jnp.bfloat16)
+    for p_drop, label in ((0.1, "blocks"), (0.0, "blocks_nodrop")):
+        mod = BlocksOnly(p_drop=p_drop)
+        variables = mod.init({"params": jax.random.key(0), "dropout": drop_key},
+                             x, m)
+
+        def loss(params, x, m, mod=mod):
+            out = mod.apply({"params": params}, x, m, deterministic=False,
+                            rngs={"dropout": drop_key})
+            return (out.astype(jnp.float32) ** 2).mean()
+
+        bench_sgd(f"{label} B{b} S{s}", variables["params"], loss, (x, m))
+
+    # full trunk: embeds + pack + blocks + classifier, mean-logits loss
+    tx_n, tp_n, tr_n = 64, 225, 600
+    model = VALLEAR(idim=0, n_tokens=1024, d_model=d, n_heads=h,
+                    n_layers=layers, dtype=jnp.bfloat16)
+    batch = dict(
+        text=jnp.asarray(rng.integers(0, 1024, (b, tx_n)), jnp.int32),
+        text_lens=jnp.full((b,), tx_n, jnp.int32),
+        proms=jnp.asarray(rng.integers(0, 1024, (b, tp_n, 8)), jnp.int32),
+        prom_lens=jnp.full((b,), tp_n, jnp.int32),
+        resps=jnp.asarray(rng.integers(0, 1024, (b, tr_n)), jnp.int32),
+        resp_lens=jnp.full((b,), tr_n, jnp.int32),
+    )
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": drop_key},
+        **batch, deterministic=True,
+    )
+
+    def loss_trunk(params, batch):
+        logits, _ = model.apply(
+            {"params": params}, batch["text"], batch["text_lens"],
+            batch["proms"], batch["prom_lens"], batch["resps"][..., None],
+            batch["resp_lens"], jnp.ones((b,), jnp.int32), None, False,
+            method=VALLEAR.trunk, rngs={"dropout": drop_key},
+        )
+        return (logits ** 2).mean()
+
+    bench_sgd(f"trunk B{b}", variables["params"], loss_trunk, (batch,))
+
+
 def attn_micro(b=4, h=16, dh=64, k=8):
     """Crossover sweep: fused Pallas flash vs XLA materialized attention,
     fwd-only (inference) and fwd+bwd (training), over sequence length.
@@ -249,6 +350,10 @@ def main():
             ceiling()
         elif st == "skeleton":
             skeleton()
+        elif st == "skeleton_b16":
+            skeleton(b=16)
+        elif st == "valle_bisect":
+            valle_bisect()
         elif st == "valle_b16":
             # remat cost: B=16 fits WITHOUT remat; compare 2x this vs B=32+remat
             print("# valle b16 no-remat:")

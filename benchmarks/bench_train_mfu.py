@@ -111,6 +111,38 @@ def run_valle(b=16, tx=64, tp=225, tr=600, k=5, d_model=1024, n_heads=16,
     return ms, mfu
 
 
+def run_valle_nar(b=16, tx=64, tp=225, tr=600, k=5, d_model=1024, n_heads=16,
+                  n_layers=12, use_remat=False, quiet=False, **model_kw):
+    """VALL-E NAR at the recipe size (valle_nar.given.bs128.4chips.yaml):
+    7-level AdaLN transformer, per-sample random quant level, full-level
+    resps [B, Tr, 8]."""
+    import jax.numpy as jnp
+
+    from jatts_tpu.models.valle import VALLENAR
+    from jatts_tpu.train.steps_valle import valle_kwargs, valle_loss
+
+    model = VALLENAR(idim=0, n_tokens=1024, d_model=d_model, n_heads=n_heads,
+                     n_layers=n_layers, dtype=jnp.bfloat16,
+                     use_remat=use_remat, **model_kw)
+    rng = np.random.default_rng(0)
+    batch = {
+        "text": rng.integers(0, 1024, (b, tx)).astype(np.int32),
+        "text_lens": np.full((b,), tx, np.int32),
+        "proms": rng.integers(0, 1024, (b, tp, 8)).astype(np.int32),
+        "prom_lens": np.full((b,), tp, np.int32),
+        "resps": rng.integers(0, 1024, (b, tr, 8)).astype(np.int32),
+        "resp_lens": np.full((b,), tr, np.int32),
+    }
+    ms, mfu, flops = _run_trainer_bench(
+        model, valle_loss, lambda bt, m=None: valle_kwargs(bt, m), batch, k,
+        "bf16", quiet=quiet,
+    )
+    if not quiet:
+        print(f"valle_nar train: {ms:.1f} ms/step, MFU {100 * (mfu or 0):.1f}% "
+              f"({(flops or 0) / 1e9:.0f} GFLOP/step, B={b}, S~{tx + tp + tr + 2})")
+    return ms, mfu
+
+
 def run_e2tts(b=8, n=1024, k=5, dim=1024, depth=24, heads=16,
               use_remat=False, quiet=False, **model_kw):
     """E2-TTS at the recipe size (e2tts.v1 per-chip per-step frame budget
