@@ -36,6 +36,13 @@ def pack_three(
 
     e_*: [B, T_i, D] embeddings; sep: [D].
     Returns packed [B, S, D] (S = Tx+1+Tp+1+Tr), total_lens [B].
+
+    Implemented as ONE gather from a [text | sep | prom | resp | zero]
+    source buffer with the per-position source index computed in [B, S]
+    integer space — ~3 HBM passes over [B, S, D] instead of the ~8 a
+    three-gather + four-where formulation costs (the index select fuses
+    into cheap int ops). Positions past a sample's total length read the
+    trailing zero row, so the output is identical to masking.
     """
     b, tx, d = e_text.shape
     tp = e_prom.shape[1]
@@ -46,30 +53,34 @@ def pack_three(
     lp = prom_lens[:, None]
     lr = resp_lens[:, None]
 
-    off_text = pos
-    off_prom = pos - (lx + 1)
-    off_resp = pos - (lx + lp + 2)
-
-    def gather(e, off, t):
-        idx = jnp.clip(off, 0, t - 1)
-        return jnp.take_along_axis(e, idx[..., None], axis=1)
-
-    g_text = gather(e_text, off_text, tx)
-    g_prom = gather(e_prom, off_prom, tp)
-    g_resp = gather(e_resp, off_resp, tr)
-    sep_b = jnp.broadcast_to(sep[None, None, :], (b, s, d))
+    sep_row = jnp.broadcast_to(sep[None, None, :], (b, 1, d)).astype(e_text.dtype)
+    zero_row = jnp.zeros((b, 1, d), e_text.dtype)
+    # [B, tx+1+tp+tr+1, D]: text rows, one sep row, prom rows, resp rows,
+    # one zero row (read by every position beyond the packed total)
+    src = jnp.concatenate([e_text, sep_row, e_prom, e_resp, zero_row], axis=1)
+    sep_idx = tx
+    zero_idx = tx + 1 + tp + tr
 
     is_text = pos < lx
-    is_sep1 = pos == lx
+    is_sep = (pos == lx) | (pos == lx + 1 + lp)
     is_prom = (pos > lx) & (pos < lx + 1 + lp)
-    is_sep2 = pos == lx + 1 + lp
     is_resp = (pos > lx + 1 + lp) & (pos < lx + 2 + lp + lr)
 
-    packed = jnp.zeros((b, s, d), e_text.dtype)
-    packed = jnp.where(is_text[..., None], g_text, packed)
-    packed = jnp.where((is_sep1 | is_sep2)[..., None], sep_b, packed)
-    packed = jnp.where(is_prom[..., None], g_prom, packed)
-    packed = jnp.where(is_resp[..., None], g_resp, packed)
+    idx = jnp.where(
+        is_text, pos,
+        jnp.where(
+            is_sep, sep_idx,
+            jnp.where(
+                is_prom, pos - (lx + 1) + (tx + 1),
+                jnp.where(is_resp, pos - (lx + lp + 2) + (tx + 1 + tp),
+                          zero_idx),
+            ),
+        ),
+    )
+    # take_along_axis is silently out-of-bounds under jit; the regions above
+    # are in range by construction, this is a pure safety clamp
+    idx = jnp.clip(idx, 0, zero_idx)
+    packed = jnp.take_along_axis(src, idx[..., None], axis=1)
     total = text_lens + prom_lens + resp_lens + 2
     return packed, total
 

@@ -36,6 +36,64 @@ def test_pack_three_layout():
     assert (row[7:] == 0).all()
 
 
+def _pack_three_multipass(e_text, text_lens, e_prom, prom_lens, e_resp,
+                          resp_lens, sep):
+    """The pre-fusion three-gather + four-where formulation, kept as the
+    semantics reference for pack_three (which now does ONE gather from a
+    concatenated source buffer)."""
+    b, tx, d = e_text.shape
+    tp = e_prom.shape[1]
+    tr = e_resp.shape[1]
+    s = tx + 1 + tp + 1 + tr
+    pos = jnp.arange(s)[None, :]
+    lx, lp, lr = text_lens[:, None], prom_lens[:, None], resp_lens[:, None]
+
+    def gather(e, off, t):
+        idx = jnp.clip(off, 0, t - 1)
+        return jnp.take_along_axis(e, idx[..., None], axis=1)
+
+    g_text = gather(e_text, pos, tx)
+    g_prom = gather(e_prom, pos - (lx + 1), tp)
+    g_resp = gather(e_resp, pos - (lx + lp + 2), tr)
+    sep_b = jnp.broadcast_to(sep[None, None, :], (b, s, d))
+    is_text = pos < lx
+    is_sep1 = pos == lx
+    is_prom = (pos > lx) & (pos < lx + 1 + lp)
+    is_sep2 = pos == lx + 1 + lp
+    is_resp = (pos > lx + 1 + lp) & (pos < lx + 2 + lp + lr)
+    packed = jnp.zeros((b, s, d), e_text.dtype)
+    packed = jnp.where(is_text[..., None], g_text, packed)
+    packed = jnp.where((is_sep1 | is_sep2)[..., None], sep_b, packed)
+    packed = jnp.where(is_prom[..., None], g_prom, packed)
+    packed = jnp.where(is_resp[..., None], g_resp, packed)
+    return packed, text_lens + prom_lens + resp_lens + 2
+
+
+def test_pack_three_matches_multipass_formulation():
+    rng = np.random.default_rng(3)
+    for dtype in (jnp.float32, jnp.bfloat16):
+        b, tx, tp, tr, d = 3, 7, 5, 9, 8
+        e_text = jnp.asarray(rng.normal(size=(b, tx, d)), dtype)
+        e_prom = jnp.asarray(rng.normal(size=(b, tp, d)), dtype)
+        e_resp = jnp.asarray(rng.normal(size=(b, tr, d)), dtype)
+        sep = jnp.asarray(rng.normal(size=(d,)), dtype)
+        lens = (jnp.array([7, 3, 1]), jnp.array([5, 2, 4]), jnp.array([9, 6, 2]))
+
+        def loss(fn, et):
+            p, _ = fn(et, lens[0], e_prom, lens[1], e_resp, lens[2], sep)
+            return (p.astype(jnp.float32) ** 2).sum()
+
+        p_new, t_new = pack_three(e_text, lens[0], e_prom, lens[1], e_resp,
+                                  lens[2], sep)
+        p_old, t_old = _pack_three_multipass(e_text, lens[0], e_prom, lens[1],
+                                             e_resp, lens[2], sep)
+        np.testing.assert_array_equal(np.asarray(p_new), np.asarray(p_old))
+        np.testing.assert_array_equal(np.asarray(t_new), np.asarray(t_old))
+        g_new = jax.grad(lambda et: loss(pack_three, et))(e_text)
+        g_old = jax.grad(lambda et: loss(_pack_three_multipass, et))(e_text)
+        np.testing.assert_array_equal(np.asarray(g_new), np.asarray(g_old))
+
+
 def test_valle_ar_train_and_generate():
     rng = np.random.default_rng(0)
     inp = _inputs(rng)
