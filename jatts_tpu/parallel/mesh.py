@@ -87,31 +87,64 @@ def _put_global(v: np.ndarray, sharding: NamedSharding, batch_axis: int):
     )
 
 
-def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+def _seq_shardable(k: str, v: np.ndarray, time_axis: int, n_model: int) -> bool:
+    """True when a batch entry's time axis can be sharded over 'model'
+    (sequence parallelism): per-sample scalars ([B] lens etc.) and
+    time lengths not divisible by the axis size stay data-sharded only."""
+    return (
+        n_model > 1
+        and v.ndim > time_axis
+        and v.shape[time_axis] % n_model == 0
+        and not k.endswith("lens")
+    )
+
+
+def shard_batch(
+    batch: Dict[str, Any], mesh: Mesh, seq_parallel: bool = False
+) -> Dict[str, Any]:
     """Move a numpy batch onto the mesh, batch axis over 'data'.
 
     Non-array entries (utt_ids etc.) are passed through untouched.
     Requires batch size divisible by the data-axis size (the bucketed
     batcher guarantees this when batch_size % n_data == 0).
+
+    ``seq_parallel``: additionally shard each entry's TIME axis (dim 1)
+    over 'model' — Megatron-style sequence parallelism on the tensor-
+    parallel axis. Activations [B, T, D] then live (data, model)-sharded,
+    scaling activation memory past one chip's HBM for long-sequence
+    models (E2-TTS frame budgets); XLA/GSPMD inserts the K/V all-gathers
+    for attention and halo exchanges for time convs. The reference has no
+    sequence-parallel analog (its DDP replicates full activations).
     """
+    n_model = mesh.shape.get("model", 1)
     sharding = batch_sharding(mesh)
     out = {}
     for k, v in batch.items():
         if isinstance(v, np.ndarray) and v.ndim >= 1:
-            out[k] = _put_global(v, sharding, 0)
+            sh = sharding
+            if seq_parallel and _seq_shardable(k, v, 1, n_model):
+                sh = NamedSharding(mesh, P("data", "model"))
+            out[k] = _put_global(v, sh, 0)
         else:
             out[k] = v
     return out
 
 
-def shard_stacked_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+def shard_stacked_batch(
+    batch: Dict[str, Any], mesh: Mesh, seq_parallel: bool = False
+) -> Dict[str, Any]:
     """Like :func:`shard_batch` for K stacked batches [K, B, ...]: the scan
     axis (leading) is replicated, the batch axis (second) sharded over
-    'data'. Used by the trainer's steps_per_execution scan path."""
+    'data' (and the time axis over 'model' when ``seq_parallel``). Used by
+    the trainer's steps_per_execution scan path."""
+    n_model = mesh.shape.get("model", 1)
     out = {}
     for k, v in batch.items():
         if isinstance(v, np.ndarray) and v.ndim >= 2:
-            out[k] = _put_global(v, NamedSharding(mesh, P(None, "data")), 1)
+            spec = P(None, "data")
+            if seq_parallel and _seq_shardable(k, v, 2, n_model):
+                spec = P(None, "data", "model")
+            out[k] = _put_global(v, NamedSharding(mesh, spec), 1)
         else:
             out[k] = v
     return out

@@ -90,6 +90,13 @@ class Trainer:
             # reference grad accumulation (trainers/base.py:64,130-146)
             self.tx = optax.MultiSteps(self.tx, every_k_schedule=accum)
         self.ema_decay = float(config.get("ema_decay", 0.0) or 0.0)
+        # Megatron-style sequence parallelism: config `mesh: {model: M,
+        # sequence_parallel: true}` shards batch TIME axes over 'model' in
+        # addition to TP params (parallel/mesh.py shard_batch) — activation
+        # memory scales past one chip for long-sequence models (E2-TTS).
+        self.seq_parallel = bool(
+            (config.get("mesh") or {}).get("sequence_parallel", False)
+        )
         self.schedule = build_schedule(config)
         self.total_train_loss: Dict[str, float] = defaultdict(float)
         self.finish_train = False
@@ -323,7 +330,7 @@ class Trainer:
 
     def _run_single(self, prepped):
         if self.mesh is not None:
-            prepped = shard_batch(prepped, self.mesh)
+            prepped = shard_batch(prepped, self.mesh, self.seq_parallel)
         step_rng = jax.random.fold_in(self.rng, self.steps)
         self._sync_processes_after_compile(
             lambda: self.train_step.lower(self.state, prepped, step_rng).compile()
@@ -348,7 +355,7 @@ class Trainer:
         if self.mesh is not None:
             from jatts_tpu.parallel.mesh import shard_stacked_batch
 
-            stacked = shard_stacked_batch(stacked, self.mesh)
+            stacked = shard_stacked_batch(stacked, self.mesh, self.seq_parallel)
         offsets = np.arange(self.steps, self.steps + k, dtype=np.int32)
         self._sync_processes_after_compile(
             lambda: self.train_step_scan.lower(
@@ -452,7 +459,7 @@ class Trainer:
         for batch in self.dev_loader:
             prepped = self._prep(batch, n_dev)
             if self.mesh is not None:
-                prepped = shard_batch(prepped, self.mesh)
+                prepped = shard_batch(prepped, self.mesh, self.seq_parallel)
             if not eval_synced and jax.process_count() > 1:
                 # same compile-skew hazard as the first train step: the
                 # eval program's first collective must not Gloo-timeout
