@@ -164,7 +164,7 @@ def _train_extra():
             "train_mel_frames_per_s": round(fps),
         }
         if mfu is not None:
-            out["train_mfu_vs_394tflops_bf16"] = round(mfu, 4)
+            out["train_mfu_vs_197tflops_bf16"] = round(mfu, 4)
         # NOTE: the flash-attention variant (attn_backend='flash') measured
         # SLOWER for FS2 shapes (52.4 vs 42.3 ms/step at T=512): the rel-pos
         # bd bias must still be materialized as [B,H,T,T] and d_head=96 pads
@@ -177,7 +177,7 @@ def _train_extra():
 def _flagship_mfu_extra():
     """Absolute training MFU for the transformer flagships at recipe sizes
     (VALL-E AR d1024/12L, E2-TTS UNetT d1024/24L) — XLA-counted FLOPs over
-    wall time vs the 394 TFLOP/s bf16 v5e-1 peak. Full study:
+    wall time vs the 197 TFLOP/s bf16 published v5e peak (rounds 1-2 used 394, the INT8 TOPS figure - MFUs were understated 2x). Full study:
     benchmarks/bench_train_mfu.py."""
     import sys
 
@@ -189,14 +189,14 @@ def _flagship_mfu_extra():
         ms, mfu = run_valle(quiet=True)
         out["valle_train_ms_per_step"] = round(ms, 1)
         if mfu is not None:
-            out["valle_train_mfu_vs_394tflops_bf16"] = round(mfu, 4)
+            out["valle_train_mfu_vs_197tflops_bf16"] = round(mfu, 4)
     except Exception as e:  # noqa: BLE001
         print(f"# valle mfu failed: {str(e)[:160]}", flush=True)
     try:
         ms, mfu = run_e2tts(quiet=True)
         out["e2tts_train_ms_per_step"] = round(ms, 1)
         if mfu is not None:
-            out["e2tts_train_mfu_vs_394tflops_bf16"] = round(mfu, 4)
+            out["e2tts_train_mfu_vs_197tflops_bf16"] = round(mfu, 4)
     except Exception as e:  # noqa: BLE001
         print(f"# e2tts mfu failed: {str(e)[:160]}", flush=True)
     return out

@@ -119,27 +119,26 @@ def main():
         os.path.expanduser("~/.cache/jatts_tpu/xla"),
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    for fn in (lambda: bench_matcha(10), lambda: bench_matcha(32), bench_vits):
+    for fn in (lambda: bench_matcha(10), lambda: bench_matcha(32), bench_vits,
+               bench_e2tts):
         try:
             fn()
         except Exception as e:  # noqa: BLE001 — relay 413 / compile flakes
             print(f"# failed: {str(e)[:140]}")
 
 
-if __name__ == "__main__":
-    main()
-
-
 def bench_e2tts(steps=32, dim=1024, depth=24, heads=16):
-    """E2-TTS NFE-32 inference (flash attention default; full-size UNetT).
-    May 413 on the compile relay — isolated by main()."""
+    """E2-TTS NFE-32 CFG inference (doubled-batch CFG Euler, bf16 compute,
+    XLA attention — the round-3 default; full-size UNetT). May 413 on the
+    compile relay — isolated by main()."""
     import jax
     import jax.numpy as jnp
 
     from jatts_tpu.models.e2tts import E2TTS
 
     b, t_max, nt = 4, 1024, 96
-    model = E2TTS(idim=64, odim=80, dim=dim, depth=depth, heads=heads)
+    model = E2TTS(idim=64, odim=80, dim=dim, depth=depth, heads=heads,
+                  dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
     cond = jnp.asarray(rng.normal(size=(b, t_max, 80)).astype(np.float32))
     text = jnp.asarray(rng.integers(0, 64, (b, nt)).astype(np.int32))
@@ -162,3 +161,7 @@ def bench_e2tts(steps=32, dim=1024, depth=24, heads=16):
         return out["feat_gen"].astype(jnp.float32)
 
     return _bench(f"e2tts NFE-{steps} ({depth}L/{dim}d)", infer, cond, b, t_max)
+
+
+if __name__ == "__main__":
+    main()

@@ -24,7 +24,8 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
-PEAK = 394e12  # v5e-1 bf16 peak (CLAUDE.md)
+PEAK = 197e12  # v5e published bf16 peak/chip (394 is the INT8 TOPS figure
+# rounds 1-2 mistakenly used — see benchmarks/bench_train_mfu.py)
 
 
 def _bench_scanned(fn, args, flops_per_iter, k, n_rep=3, prime=3, label=""):
@@ -42,7 +43,7 @@ def _bench_scanned(fn, args, flops_per_iter, k, n_rep=3, prime=3, label=""):
     dt = (time.perf_counter() - t0) / (n_rep * k)
     tflops = flops_per_iter / dt / 1e12
     print(f"{label}: {dt * 1e3:.1f} ms/iter, {tflops:.1f} TFLOP/s "
-          f"({100 * tflops * 1e12 / PEAK:.1f}% of 394 peak)  [barrier {barrier:.3g}]")
+          f"({100 * tflops * 1e12 / PEAK:.1f}% of 197 peak)  [barrier {barrier:.3g}]")
     return dt
 
 

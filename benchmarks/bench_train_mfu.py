@@ -17,7 +17,13 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
-PEAK_FLOPS = {"bf16": 394e12, "f32": 98e12}  # v5e-1 peak (CLAUDE.md)
+# v5e (topology v5e:1x1x1 per the compile relay) published peak: 197
+# TFLOP/s bf16 per chip. Rounds 1-2 used 394 — that is the v5e INT8 TOPS
+# figure, so every earlier MFU was understated 2x (measured sanity: chained
+# 4096^3 bf16 matmuls sustain 132.7 TF/s = 67% of 197 — plausible — vs 34%
+# of 394 — implausibly low for pure-MXU work). f32 matmul peak is
+# unpublished; half of bf16 retained as the indicative denominator.
+PEAK_FLOPS = {"bf16": 197e12, "f32": 98e12}
 
 
 def _run_trainer_bench(model, loss_fn, kwargs_fn, batch, k, dtype_name,

@@ -19,7 +19,10 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
-PEAK_FLOPS = {"bf16": 394e12, "f32": 98e12}  # v5e-1 (CLAUDE.md calibration)
+# v5e published bf16 peak is 197 TFLOP/s/chip (394 is the INT8 TOPS figure
+# rounds 1-2 mistakenly used — see benchmarks/bench_train_mfu.py); f32 is
+# unpublished, bf16/2 kept as the indicative denominator.
+PEAK_FLOPS = {"bf16": 197e12, "f32": 98e12}
 
 
 def make_batch(b=32, t_text=128, t_feats=1024):
