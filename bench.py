@@ -182,7 +182,7 @@ def _flagship_mfu_extra():
     import sys
 
     sys.path.insert(0, ".")
-    from benchmarks.bench_train_mfu import run_e2tts, run_valle
+    from benchmarks.bench_train_mfu import run_e2tts, run_valle, run_valle_nar
 
     out = {}
     try:
@@ -192,6 +192,13 @@ def _flagship_mfu_extra():
             out["valle_train_mfu_vs_197tflops_bf16"] = round(mfu, 4)
     except Exception as e:  # noqa: BLE001
         print(f"# valle mfu failed: {str(e)[:160]}", flush=True)
+    try:
+        ms, mfu = run_valle_nar(quiet=True)
+        out["valle_nar_train_ms_per_step"] = round(ms, 1)
+        if mfu is not None:
+            out["valle_nar_train_mfu_vs_197tflops_bf16"] = round(mfu, 4)
+    except Exception as e:  # noqa: BLE001
+        print(f"# valle nar mfu failed: {str(e)[:160]}", flush=True)
     try:
         ms, mfu = run_e2tts(quiet=True)
         out["e2tts_train_ms_per_step"] = round(ms, 1)

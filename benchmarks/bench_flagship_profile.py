@@ -250,6 +250,120 @@ def valle_bisect(b=16, s=896, d=1024, h=16, layers=12, k=5):
     bench_sgd(f"trunk B{b}", variables["params"], loss_trunk, (batch,))
 
 
+def e2tts_bisect(b=8, n=1025, d=1024, layers=24, k=5):
+    """Decompose the E2-TTS step's MFU gap vs its matmul skeleton.
+
+    Ladder (all fwd+bwd+sgd, same scanned harness, XLA-counted FLOPs):
+      skeleton_e2    — matmul-only UNetT-shaped flat transformer: separate
+                       q/k/v, out, ffn x4, skip-concat Dense in the 2nd half
+      backbone       — real UNetT fwd (RMSNorm, rope head, conv-pos, text
+                       embed, CFG drops, dropout) with an MSE loss
+      backbone_nodrop — same with dropout 0 (isolates dropout)
+    Compare with the full trainer step (`bench_train_mfu.run_e2tts`: adds CFM
+    noise/interp/masked-MSE + AdamW + clip); N=1025 = 1024 frames + time tok.
+    """
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+
+    from jatts_tpu.modules.e2tts_backbone import UNetT
+
+    rng = np.random.default_rng(0)
+    drop_key = jax.random.key(1, impl="rbg")  # recipe rng_impl
+    h_heads, dh = 16, 64
+
+    def bench_sgd(label, init_params, loss_fn, extra_args=()):
+        @jax.jit
+        def run(params, *args):
+            def body(c, _):
+                p = c
+                g = jax.grad(loss_fn)(p, *args)
+                p = jax.tree_util.tree_map(
+                    lambda a, b_: a - jnp.asarray(1e-6, a.dtype) * b_, p, g
+                )
+                return p, None
+            p, _ = jax.lax.scan(body, params, None, length=k)
+            leaf = jax.tree_util.tree_leaves(p)[0]
+            return leaf.astype(jnp.float32).sum()[None]
+
+        flops = None
+        try:
+            cost = run.lower(init_params, *extra_args).compile().cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            if cost and cost.get("flops"):
+                flops = float(cost["flops"])  # scan body counted once
+        except Exception as e:  # noqa: BLE001
+            print(f"# cost_analysis failed: {str(e)[:100]}")
+        _bench_scanned(run, (init_params, *extra_args), flops or 0.0, k,
+                       n_rep=2, prime=3, label=label)
+
+    # --- skeleton: matmuls only, UNetT topology (flat + skip concats) ---
+    params = {}
+    for i in range(layers):
+        p = {
+            "q": jnp.asarray(rng.standard_normal((d, d)) / np.sqrt(d), jnp.bfloat16),
+            "k": jnp.asarray(rng.standard_normal((d, d)) / np.sqrt(d), jnp.bfloat16),
+            "v": jnp.asarray(rng.standard_normal((d, d)) / np.sqrt(d), jnp.bfloat16),
+            "out": jnp.asarray(rng.standard_normal((d, d)) / np.sqrt(d), jnp.bfloat16),
+            "fi": jnp.asarray(rng.standard_normal((d, 4 * d)) / np.sqrt(d), jnp.bfloat16),
+            "fo": jnp.asarray(rng.standard_normal((4 * d, d)) / (2 * np.sqrt(d)), jnp.bfloat16),
+        }
+        if i >= layers // 2:
+            p["skip"] = jnp.asarray(
+                rng.standard_normal((2 * d, d)) / np.sqrt(2 * d), jnp.bfloat16
+            )
+        params[f"l{i}"] = p
+    x0 = jnp.asarray(rng.standard_normal((b, n, d)), jnp.bfloat16)
+
+    def fwd_skel(params, x):
+        skips = []
+        for i in range(layers):
+            p = params[f"l{i}"]
+            if i < layers // 2:
+                skips.append(x)
+            else:
+                x = jnp.concatenate([x, skips.pop()], axis=-1) @ p["skip"]
+            q = (x @ p["q"]).reshape(b, n, h_heads, dh).transpose(0, 2, 1, 3)
+            kk = (x @ p["k"]).reshape(b, n, h_heads, dh).transpose(0, 2, 1, 3)
+            v = (x @ p["v"]).reshape(b, n, h_heads, dh).transpose(0, 2, 1, 3)
+            e = jnp.einsum("bhid,bhjd->bhij", q, kk) * (dh**-0.5)
+            a = jax.nn.softmax(e, axis=-1)
+            o = jnp.einsum("bhij,bhjd->bhid", a, v)
+            x = x + o.transpose(0, 2, 1, 3).reshape(b, n, d) @ p["out"]
+            x = x + jax.nn.gelu(x @ p["fi"]) @ p["fo"]
+        return x
+
+    def loss_skel(params, x):
+        return (fwd_skel(params, x).astype(jnp.float32) ** 2).mean()
+
+    bench_sgd(f"skeleton_e2 B{b} N{n}", params, loss_skel, (x0,))
+
+    # --- real UNetT backbone, MSE loss ---
+    nf = n - 1  # mel frames (backbone prepends the time token)
+    xs = jnp.asarray(rng.standard_normal((b, nf, 80)), jnp.float32)
+    cond = jnp.asarray(rng.standard_normal((b, nf, 80)), jnp.float32)
+    text = jnp.asarray(rng.integers(0, 64, (b, 128)), jnp.int32)
+    tvec = jnp.asarray(rng.uniform(0, 1, (b,)), jnp.float32)
+    nodrop = jnp.zeros((b,), bool)
+    for p_drop, label in ((0.1, "backbone"), (0.0, "backbone_nodrop")):
+        mod = UNetT(text_num_embeds=64, dim=d, depth=layers, heads=h_heads,
+                    dropout_rate=p_drop, dtype=jnp.bfloat16)
+        variables = mod.init(
+            {"params": jax.random.key(0), "dropout": drop_key},
+            xs, cond, text, tvec, nodrop, nodrop, None, True,
+        )
+
+        def loss_bb(params, mod=mod):
+            out = mod.apply(
+                {"params": params}, xs, cond, text, tvec, nodrop, nodrop,
+                None, False, rngs={"dropout": drop_key},
+            )
+            return (out.astype(jnp.float32) ** 2).mean()
+
+        bench_sgd(f"{label} B{b} N{n}", variables["params"], loss_bb)
+
+
 def attn_micro(b=4, h=16, dh=64, k=8):
     """Crossover sweep: fused Pallas flash vs XLA materialized attention,
     fwd-only (inference) and fwd+bwd (training), over sequence length.
@@ -355,6 +469,8 @@ def main():
             skeleton(b=16)
         elif st == "valle_bisect":
             valle_bisect()
+        elif st == "e2tts_bisect":
+            e2tts_bisect()
         elif st == "valle_b16":
             # remat cost: B=16 fits WITHOUT remat; compare 2x this vs B=32+remat
             print("# valle b16 no-remat:")
