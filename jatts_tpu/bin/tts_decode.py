@@ -17,9 +17,14 @@ _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.
 # this every stage repays full compilation
 import jax as _jax
 
-_jax.config.update(
-    "jax_compilation_cache_dir", _os.path.expanduser("~/.cache/jatts_tpu/xla")
-)
+if not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    # default persistent cache; an env override wins (e.g. tests point it at
+    # the committed suite cache -- stale AOT entries compiled on another
+    # machine load-fail loudly and slowly, see CLAUDE.md)
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.path.expanduser("~/.cache/jatts_tpu/xla"),
+    )
 _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import argparse

@@ -19,9 +19,14 @@ _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.
 # this every stage repays full compilation
 import jax as _jax
 
-_jax.config.update(
-    "jax_compilation_cache_dir", _os.path.expanduser("~/.cache/jatts_tpu/xla")
-)
+if not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    # default persistent cache; an env override wins (e.g. tests point it at
+    # the committed suite cache -- stale AOT entries compiled on another
+    # machine load-fail loudly and slowly, see CLAUDE.md)
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.path.expanduser("~/.cache/jatts_tpu/xla"),
+    )
 _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import argparse
@@ -197,9 +202,20 @@ def main():
     if args.resume is not None:
         trainer.load_checkpoint(args.resume or None)
 
+    # Preemption safety: TPU pods/k8s deliver SIGTERM on eviction, which by
+    # default kills the process WITHOUT unwinding the `finally` below (the
+    # reference's try/finally, bin/tts_train.py:401-408, has the same hole).
+    # Convert it to SystemExit so the save runs; exit code 143 = 128+SIGTERM.
+    import signal
+
+    def _on_term(signum, frame):
+        raise SystemExit(128 + signum)
+
+    prev_term = signal.signal(signal.SIGTERM, _on_term)
     try:
         trainer.run()
     finally:
+        signal.signal(signal.SIGTERM, prev_term)  # don't leak into callers
         trainer.save_checkpoint()
         logging.info(f"saved final checkpoint at {trainer.steps} steps")
 

@@ -18,8 +18,12 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 # persistent compilation cache: the suite is compile-dominated on CPU; this
-# makes repeat runs (and CI re-runs) fast
+# makes repeat runs (and CI re-runs) fast. Also exported as env so (a) bin
+# modules imported in-process DON'T retarget the cache to the user-level
+# default (they skip their config.update when the env var is set), and (b)
+# subprocess children (multihost/run.sh E2Es) inherit the committed cache.
 _cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+os.environ["JAX_COMPILATION_CACHE_DIR"] = _cache_dir
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
