@@ -150,10 +150,14 @@ def main():
         out_feat_type=config.get("out_feat_type", "mel")
     )
     # background prefetch overlaps h5 reads/collation with device steps
-    # (the reference's DataLoader num_workers analog)
+    # (the reference's DataLoader num_workers analog). With
+    # steps_per_execution=K the trainer buffers K batches per dispatch, so
+    # the prefetch depth must cover a full scan window or the host rebuilds
+    # most of the next window while the device sits idle.
+    k_exec = int(config.get("steps_per_execution", 1))
     train_loader = DataLoader(
         train_set, sampler, collater,
-        prefetch=int(config.get("num_prefetch_batches", 2)),
+        prefetch=int(config.get("num_prefetch_batches", max(2, k_exec))),
     )
     dev_lengths = [dev_set.get_frame_len(i) for i in range(len(dev_set))]
     dev_loader = DataLoader(
