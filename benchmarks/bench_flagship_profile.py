@@ -29,22 +29,75 @@ PEAK = 197e12  # v5e published bf16 peak/chip (394 is the INT8 TOPS figure
 
 
 def _bench_scanned(fn, args, flops_per_iter, k, n_rep=3, prime=3, label=""):
-    """fn(args) -> array; fn internally scans k iterations chained by data
-    dependency. Times n_rep dispatches after `prime` untimed ones; barrier =
-    scalar host fetch."""
-    out = None
+    """fn(*args, chain) -> scalar[1]; fn internally scans k iterations
+    chained by data dependency AND must mix the `chain` scalar into its
+    inputs, so successive dispatches are also data-dependent (CLAUDE.md
+    benchmark rule: completion signals through the tunnel are unreliable, so
+    only a dependency chain + final scalar host fetch times device work).
+    Times n_rep dispatches after `prime` untimed ones."""
+    import jax.numpy as jnp
+
+    chain = jnp.zeros((1,), jnp.float32)
     for _ in range(prime):
-        out = fn(*args)
-        _ = float(out.sum())  # full completion barrier through the tunnel
+        chain = fn(*args, chain)
+        _ = float(chain.sum())  # full completion barrier through the tunnel
     t0 = time.perf_counter()
     for _ in range(n_rep):
-        out = fn(*args)
-    barrier = float(out.sum())
+        chain = fn(*args, chain)
+    barrier = float(chain.sum())
     dt = (time.perf_counter() - t0) / (n_rep * k)
     tflops = flops_per_iter / dt / 1e12
     print(f"{label}: {dt * 1e3:.1f} ms/iter, {tflops:.1f} TFLOP/s "
           f"({100 * tflops * 1e12 / PEAK:.1f}% of 197 peak)  [barrier {barrier:.3g}]")
     return dt
+
+
+def _mix(x, chain):
+    """Data-dependency tap: numerically negligible (chain*1e-30 vs O(1)
+    data) but not removable by the compiler (float 0*x folding is unsound,
+    XLA keeps it)."""
+    import jax.numpy as jnp
+
+    return x + chain.astype(x.dtype)[0] * jnp.asarray(1e-30, x.dtype)
+
+
+def _bench_sgd(label, init_params, loss_fn, extra_args, k, n_rep=2, prime=3):
+    """Shared scan-SGD harness for the bisect ladders: k fwd+bwd+sgd steps
+    per dispatch, XLA cost_analysis FLOPs (scan body counted once), chained
+    dispatches via _bench_scanned's chain scalar."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(params, *args_chain):
+        *args, chain = args_chain
+        params = jax.tree_util.tree_map(lambda p: _mix(p, chain), params)
+
+        def body(c, _):
+            p = c
+            g = jax.grad(loss_fn)(p, *args)
+            p = jax.tree_util.tree_map(
+                lambda a, b_: a - jnp.asarray(1e-6, a.dtype) * b_, p, g
+            )
+            return p, None
+
+        p, _ = jax.lax.scan(body, params, None, length=k)
+        leaf = jax.tree_util.tree_leaves(p)[0]
+        return leaf.astype(jnp.float32).sum()[None]
+
+    flops = None
+    try:
+        cost = run.lower(
+            init_params, *extra_args, jnp.zeros((1,), jnp.float32)
+        ).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        if cost and cost.get("flops"):
+            flops = float(cost["flops"])  # scan body counted once
+    except Exception as e:  # noqa: BLE001
+        print(f"# cost_analysis failed: {str(e)[:100]}")
+    _bench_scanned(run, (init_params, *extra_args), flops or 0.0, k,
+                   n_rep=n_rep, prime=prime, label=label)
 
 
 def ceiling(n=4096, k=32):
@@ -56,12 +109,12 @@ def ceiling(n=4096, k=32):
     w = jnp.asarray(np.random.randn(n, n) / np.sqrt(n), jnp.bfloat16)
 
     @jax.jit
-    def run(x, w):
+    def run(x, w, chain):
         def body(c, _):
             c = jnp.dot(c, w)
             # keep magnitudes bounded so the chain never overflows
             return c * jnp.asarray(0.99, c.dtype), None
-        c, _ = jax.lax.scan(body, x, None, length=k)
+        c, _ = jax.lax.scan(body, _mix(x, chain), None, length=k)
         return c.astype(jnp.float32).mean()[None]
 
     _bench_scanned(run, (x, w), 2 * n**3, k, label=f"ceiling matmul {n}^3")
@@ -104,7 +157,7 @@ def skeleton(b=32, s=896, d=1024, layers=12, k=5):
         return x
 
     @jax.jit
-    def run(params, x):
+    def run(params, x, chain):
         def body(c, _):
             params, x = c
 
@@ -117,7 +170,9 @@ def skeleton(b=32, s=896, d=1024, layers=12, k=5):
             )
             return (params, x), None
 
-        (params, _), _ = jax.lax.scan(body, (params, x), None, length=k)
+        (params, _), _ = jax.lax.scan(
+            body, (params, _mix(x, chain)), None, length=k
+        )
         return params["l0"]["qkv"].astype(jnp.float32).mean()[None]
 
     # fwd+bwd matmul FLOPs = 3x fwd; fwd = B*S*(2d*3d + 2d*d + 2*2*S*dh*h + 16d^2)
@@ -170,30 +225,7 @@ def valle_bisect(b=16, s=896, d=1024, h=16, layers=12, k=5):
     drop_key = jax.random.key(1, impl="rbg")  # recipe rng_impl
 
     def bench_sgd(label, init_params, loss_fn, extra_args=()):
-        @jax.jit
-        def run(params, *args):
-            def body(c, _):
-                p = c
-                g = jax.grad(loss_fn)(p, *args)
-                p = jax.tree_util.tree_map(
-                    lambda a, b_: a - jnp.asarray(1e-6, a.dtype) * b_, p, g
-                )
-                return p, None
-            p, _ = jax.lax.scan(body, params, None, length=k)
-            leaf = jax.tree_util.tree_leaves(p)[0]
-            return leaf.astype(jnp.float32).sum()[None]
-
-        flops = None
-        try:
-            cost = run.lower(init_params, *extra_args).compile().cost_analysis()
-            if isinstance(cost, (list, tuple)):
-                cost = cost[0]
-            if cost and cost.get("flops"):
-                flops = float(cost["flops"])  # scan body counted once
-        except Exception as e:  # noqa: BLE001
-            print(f"# cost_analysis failed: {str(e)[:100]}")
-        _bench_scanned(run, (init_params, *extra_args), flops or 0.0, k,
-                       n_rep=2, prime=3, label=label)
+        _bench_sgd(label, init_params, loss_fn, extra_args, k)
 
     class BlocksOnly(nn.Module):
         p_drop: float = 0.1
@@ -273,30 +305,7 @@ def e2tts_bisect(b=8, n=1025, d=1024, layers=24, k=5):
     h_heads, dh = 16, 64
 
     def bench_sgd(label, init_params, loss_fn, extra_args=()):
-        @jax.jit
-        def run(params, *args):
-            def body(c, _):
-                p = c
-                g = jax.grad(loss_fn)(p, *args)
-                p = jax.tree_util.tree_map(
-                    lambda a, b_: a - jnp.asarray(1e-6, a.dtype) * b_, p, g
-                )
-                return p, None
-            p, _ = jax.lax.scan(body, params, None, length=k)
-            leaf = jax.tree_util.tree_leaves(p)[0]
-            return leaf.astype(jnp.float32).sum()[None]
-
-        flops = None
-        try:
-            cost = run.lower(init_params, *extra_args).compile().cost_analysis()
-            if isinstance(cost, (list, tuple)):
-                cost = cost[0]
-            if cost and cost.get("flops"):
-                flops = float(cost["flops"])  # scan body counted once
-        except Exception as e:  # noqa: BLE001
-            print(f"# cost_analysis failed: {str(e)[:100]}")
-        _bench_scanned(run, (init_params, *extra_args), flops or 0.0, k,
-                       n_rep=2, prime=3, label=label)
+        _bench_sgd(label, init_params, loss_fn, extra_args, k)
 
     # --- skeleton: matmuls only, UNetT topology (flat + skip concats) ---
     params = {}
@@ -386,21 +395,21 @@ def attn_micro(b=4, h=16, dh=64, k=8):
                         ("flash", lambda q, kk, v: _flash_attend(
                             q, kk, v, None, None, dh**-0.5))):
             @jax.jit
-            def fwd(q):
+            def fwd(q, chain):
                 def body(c, _):
                     o = f(c, c, c)
                     return o * jnp.asarray(0.5, o.dtype) + c * 0.5, None
-                c, _ = jax.lax.scan(body, q, None, length=k)
+                c, _ = jax.lax.scan(body, _mix(q, chain), None, length=k)
                 return c.astype(jnp.float32).mean()[None]
 
             @jax.jit
-            def fwdbwd(q):
+            def fwdbwd(q, chain):
                 def body(c, _):
                     g = jax.grad(
                         lambda x: (f(x, x, x).astype(jnp.float32) ** 2).mean()
                     )(c)
                     return c - g.astype(c.dtype), None
-                c, _ = jax.lax.scan(body, q, None, length=k)
+                c, _ = jax.lax.scan(body, _mix(q, chain), None, length=k)
                 return c.astype(jnp.float32).mean()[None]
 
             _bench_scanned(fwd, (q,), flops_f, k, n_rep=2, prime=2,

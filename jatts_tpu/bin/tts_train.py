@@ -209,11 +209,20 @@ def main():
     # Preemption safety: TPU pods/k8s deliver SIGTERM on eviction, which by
     # default kills the process WITHOUT unwinding the `finally` below (the
     # reference's try/finally, bin/tts_train.py:401-408, has the same hole).
-    # Convert it to SystemExit so the save runs; exit code 143 = 128+SIGTERM.
+    # First signal: request a deferred stop — the trainer raises SystemExit
+    # at the next step boundary, where train-state buffers are consistent
+    # (raising directly from the handler can land between a donating
+    # dispatch and the state rebind, leaving deleted arrays for the final
+    # save). Second signal: force immediate exit. 143 = 128+SIGTERM.
     import signal
 
+    sig_count = [0]
+
     def _on_term(signum, frame):
-        raise SystemExit(128 + signum)
+        sig_count[0] += 1
+        trainer.request_stop = True
+        if sig_count[0] > 1:
+            raise SystemExit(128 + signum)
 
     prev_term = signal.signal(signal.SIGTERM, _on_term)
     try:

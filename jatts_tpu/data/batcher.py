@@ -270,22 +270,41 @@ class DataLoader:
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         _END = object()
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            # bounded put that aborts when the consumer abandoned the
+            # iterator (break / exception mid-epoch): a plain q.put would
+            # block forever on the full queue, leaking the thread and
+            # pinning prefetch+1 collated batches in memory
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for batch_idx in self.sampler:
-                    q.put(self._make(batch_idx))
-                q.put(_END)
+                    if not _put(self._make(batch_idx)):
+                        return
+                _put(_END)
             except BaseException as e:  # noqa: BLE001 — propagate to consumer
-                q.put(e)
+                _put(e)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is _END:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is _END:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+            t.join()
+        finally:
+            # runs on GeneratorExit too (consumer break / gc of the iterator)
+            stop.set()

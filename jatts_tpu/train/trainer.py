@@ -100,6 +100,7 @@ class Trainer:
         self.schedule = build_schedule(config)
         self.total_train_loss: Dict[str, float] = defaultdict(float)
         self.finish_train = False
+        self.request_stop = False  # set by the SIGTERM handler (preemption)
         self._writer = None
         os.makedirs(outdir, exist_ok=True)
 
@@ -380,6 +381,11 @@ class Trainer:
             self._eval_interval()
         if (self.steps % save_every) < dk:
             self.save_checkpoint()
+        if getattr(self, "request_stop", False):
+            # deferred preemption stop (SIGTERM handler in bin/tts_train):
+            # raised here, after the state rebind, so the final-save
+            # `finally` sees a consistent (non-donated) train state
+            raise SystemExit(143)
 
     def _prep(self, batch: Dict[str, Any], n_dev: int) -> Dict[str, Any]:
         batch = pad_batch_to_devices(batch, n_dev)
@@ -477,8 +483,10 @@ class Trainer:
             for k, v in stats.items():
                 totals[k] += float(v)
             count += 1
+        rank0 = jax.process_index() == 0  # rank-0 tensorboard (ref base.py)
         for k, v in totals.items():
-            self.writer.add_scalar(f"eval/{k}", v / max(count, 1), self.steps)
+            if rank0:
+                self.writer.add_scalar(f"eval/{k}", v / max(count, 1), self.steps)
         logging.info(
             f"(steps {self.steps}) eval "
             + " ".join(f"{k}={v / max(count, 1):.4f}" for k, v in sorted(totals.items()))
@@ -526,18 +534,42 @@ class Trainer:
         else:
             # full resume MUST restore with a template: a templateless orbax
             # restore returns plain dicts, silently destroying the optax
-            # NamedTuple structure of opt_state (the next tx.update crashes)
+            # NamedTuple structure of opt_state (the next tx.update crashes).
+            # Optional keys (ema_params, epochs) are included only when the
+            # checkpoint actually has them — orbax template restore raises on
+            # ANY tree-structure mismatch, so resuming a no-EMA checkpoint
+            # with EMA enabled (or vice versa, or a pre-`epochs` checkpoint)
+            # must not put them in the template.
+            from jatts_tpu.utils.checkpoint import checkpoint_top_level_keys
+
+            disk_keys = checkpoint_top_level_keys(path)
             template = {
                 "params": jax.device_get(self.state.params),
                 "batch_stats": jax.device_get(self.state.batch_stats),
                 "opt_state": jax.device_get(self.state.opt_state),
                 "steps": 0,
-                "epochs": 0,
             }
-            if self.state.ema_params is not None:
+            if disk_keys is None or "epochs" in disk_keys:
+                template["epochs"] = 0
+            if disk_keys is not None and "ema_params" in disk_keys:
+                # params-shaped template works even when EMA is off in the
+                # current config (the weights are simply loaded into ema)
+                template["ema_params"] = jax.device_get(
+                    self.state.ema_params
+                    if self.state.ema_params is not None
+                    else self.state.params
+                )
+            elif disk_keys is None and self.state.ema_params is not None:
                 template["ema_params"] = jax.device_get(self.state.ema_params)
             restored = restore_checkpoint(path, template)
-        ema = restored.get("ema_params", self.state.ema_params)
+        # adopt checkpoint EMA only if EMA is enabled in the current config
+        # (state.ema_params set): a restored-but-unused EMA copy would only
+        # waste memory and imply a tracking that is not happening
+        ema = (
+            restored.get("ema_params", self.state.ema_params)
+            if self.state.ema_params is not None
+            else None
+        )
         if load_only_params:
             self.state = self.state.replace(
                 params=restored["params"], batch_stats=restored["batch_stats"],

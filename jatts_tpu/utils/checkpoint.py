@@ -43,6 +43,24 @@ def _checkpointer():
     return ocp.StandardCheckpointer()
 
 
+_SAVE_SEQ = [0]  # cross-call barrier id; all ranks save in lockstep
+
+
+def _save_barrier() -> None:
+    """Rendezvous after a rank-0 write: without this, ranks != 0 race ahead
+    into the next step's Gloo collectives while rank 0 blocks on the
+    synchronous write — for a slow save the skew exceeds Gloo's fixed
+    connect/join timeout and the peers' in-flight collectives die."""
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    if client is not None:
+        _SAVE_SEQ[0] += 1
+        client.wait_at_barrier(
+            f"jatts_tpu_ckpt_{_SAVE_SEQ[0]}", timeout_in_ms=1_200_000
+        )
+
+
 def save_checkpoint(outdir: str, steps: int, state: Dict[str, Any]) -> str:
     """Write an orbax checkpoint. Multi-host: call on EVERY process with the
     same (replicated, device_get'd) state — only process 0 writes."""
@@ -50,11 +68,14 @@ def save_checkpoint(outdir: str, steps: int, state: Dict[str, Any]) -> str:
 
     path = _ckpt_dir(outdir, steps)
     if jax.process_count() > 1 and jax.process_index() != 0:
-        return path  # reference-style rank-0 writing (trainers/base.py)
+        _save_barrier()  # reference-style rank-0 writing (trainers/base.py)
+        return path
     ckptr = _checkpointer()
     ckptr.save(path, state, force=True)
     if hasattr(ckptr, "wait_until_finished"):  # async (single-process) pool
         ckptr.wait_until_finished()
+    if jax.process_count() > 1:
+        _save_barrier()
     return path
 
 
@@ -64,6 +85,24 @@ def restore_checkpoint(path: str, template: Optional[Dict[str, Any]] = None) -> 
     if template is not None:
         return ckptr.restore(path, target=template)
     return ckptr.restore(path)
+
+
+def checkpoint_top_level_keys(path: str) -> Optional[set]:
+    """Top-level tree keys of an orbax checkpoint, from its _METADATA file
+    (no tensor reads). None if the metadata is absent/unparseable — callers
+    should then fall back to assuming their own structure."""
+    import json
+
+    meta_path = os.path.join(os.path.abspath(path), "_METADATA")
+    try:
+        with open(meta_path) as f:
+            tree = json.load(f)["tree_metadata"]
+        keys = set()
+        for v in tree.values():
+            keys.add(v["key_metadata"][0]["key"])
+        return keys
+    except Exception:  # noqa: BLE001 — metadata layout varies across versions
+        return None
 
 
 def find_latest_checkpoint(outdir: str) -> Optional[str]:

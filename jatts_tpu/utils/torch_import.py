@@ -516,6 +516,13 @@ def load_reference_e2tts_state(path: str, use_ema: bool = True) -> Dict[str, np.
     import torch
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if not use_ema and "update" not in ckpt:
+        # EMA-only checkpoint: there are no raw model weights to honor
+        # --no-ema with — fail loudly instead of silently importing EMA
+        raise ValueError(
+            f"{path} is an EMA-only reference checkpoint (no "
+            "model_state_dict); cannot import raw weights with use_ema=False"
+        )
     if use_ema or "update" not in ckpt:
         ema = ckpt["ema_model_state_dict"]
         sd = {

@@ -157,3 +157,33 @@ def test_dataloader_prefetch_matches_sync():
                         prefetch=2)
     with pytest.raises(RuntimeError, match="boom"):
         list(loader)
+
+
+def test_dataloader_prefetch_worker_exits_on_abandon():
+    """Breaking out of a prefetching DataLoader mid-epoch must not leak the
+    worker thread (it would block forever on the full queue, pinning
+    prefetch+1 collated batches in memory)."""
+    import gc
+    import threading
+    import time
+
+    from jatts_tpu.data.batcher import BatchSampler, DataLoader
+
+    data = list(range(64))
+    lengths = [1] * len(data)
+    collate = lambda items: items  # noqa: E731
+
+    before = set(threading.enumerate())
+    it = iter(DataLoader(data, BatchSampler(lengths, 4, shuffle=False),
+                         collate, prefetch=1))
+    next(it)  # worker running, queue full
+    it.close()  # consumer abandons (same path as `break` + gc)
+    del it
+    gc.collect()
+    deadline = time.time() + 10
+    while time.time() < deadline:
+        leaked = [t for t in set(threading.enumerate()) - before if t.is_alive()]
+        if not leaked:
+            break
+        time.sleep(0.05)
+    assert not leaked, f"prefetch worker leaked: {leaked}"

@@ -190,3 +190,75 @@ def test_rng_impl_rbg(tmp_path, config):
     tr.run()
     assert tr.steps == 2
     assert np.isfinite(tr.total_train_loss["train/loss"])
+
+
+def test_resume_across_ema_and_epochs_mismatches(tmp_path, config):
+    """Full resume must tolerate optional-key mismatches between checkpoint
+    and current config: no-EMA ckpt + EMA-on resume, EMA ckpt + EMA-off
+    resume, and checkpoints written before the 'epochs' key existed (orbax
+    template restore raises on ANY tree-structure difference)."""
+    import jax
+
+    from jatts_tpu.utils.checkpoint import find_latest_checkpoint, save_checkpoint
+
+    rng = np.random.default_rng(1)
+    batches = [_make_batch(rng) for _ in range(2)]
+    model = FastSpeech2(
+        idim=20, odim=8, adim=16, aheads=2, elayers=1, eunits=32, dlayers=1,
+        dunits=32, postnet_layers=2, postnet_chans=8, duration_predictor_chans=8,
+        pitch_predictor_chans=8, pitch_predictor_layers=2, energy_predictor_chans=8,
+    )
+    criterions = {
+        "MelLoss": LOSS_REGISTRY["MelLoss"](),
+        "DurationPredictorLoss": LOSS_REGISTRY["DurationPredictorLoss"](),
+        "PitchLoss": LOSS_REGISTRY["PitchLoss"](),
+        "EnergyLoss": LOSS_REGISTRY["EnergyLoss"](),
+    }
+    mesh = get_mesh()
+
+    def make(outdir, extra):
+        t = Trainer(
+            {**config, **extra}, model, criterions, fastspeech2_loss,
+            FakeLoader(batches), outdir=str(outdir), mesh=mesh,
+        )
+        t.init_state(t._prep(batches[0], 8))
+        return t
+
+    # --- save WITHOUT EMA, resume WITH EMA enabled ---
+    d1 = tmp_path / "no_ema"
+    t = make(d1, {})
+    t.steps = 2
+    t.state = t.state.replace(step=t.state.step + 2)
+    t.save_checkpoint()
+    t2 = make(d1, {"ema_decay": 0.999})
+    t2.load_checkpoint()
+    assert t2.steps == 2
+    assert t2.state.ema_params is not None  # EMA stays enabled (fresh copy)
+
+    # --- save WITH EMA, resume WITHOUT EMA ---
+    d2 = tmp_path / "with_ema"
+    t = make(d2, {"ema_decay": 0.999})
+    t.steps = 3
+    t.save_checkpoint()
+    t3 = make(d2, {})
+    t3.load_checkpoint()
+    assert t3.steps == 3 and t3.state.ema_params is None
+
+    # --- resume WITH EMA from an EMA checkpoint (adopts saved EMA) ---
+    t4 = make(d2, {"ema_decay": 0.999})
+    t4.load_checkpoint()
+    assert t4.state.ema_params is not None
+
+    # --- checkpoint written without the 'epochs' key (old format) ---
+    d3 = tmp_path / "old_fmt"
+    t = make(d3, {})
+    save_checkpoint(str(d3), 4, {
+        "params": jax.device_get(t.state.params),
+        "batch_stats": jax.device_get(t.state.batch_stats),
+        "opt_state": jax.device_get(t.state.opt_state),
+        "steps": 4,
+    })
+    t5 = make(d3, {})
+    t5.load_checkpoint()
+    assert t5.steps == 4 and t5.epochs == 0
+    assert find_latest_checkpoint(str(d3)).endswith("checkpoint-4steps")
