@@ -27,19 +27,28 @@ def trim_silence_samples(
     x: np.ndarray, top_db: float = 60.0, frame: int = 2048, hop: int = 512
 ) -> int:
     """librosa.effects.trim-style energy trim -> number of kept samples
-    (reference dtw_based.py:66-69 uses librosa defaults)."""
-    if len(x) < frame:
-        return len(x)
-    n = 1 + (len(x) - frame) // hop
+    (reference dtw_based.py:66-69 uses librosa defaults).
+
+    Matches librosa semantics: CENTERED rms frames (frame i spans
+    i*hop ± frame/2 over a zero-padded signal) and kept interval
+    [keep[0]*hop, (keep[-1]+1)*hop) — an uncentered end of
+    keep[-1]*hop+frame overestimates each trim by frame-hop samples,
+    which biases DDUR when only one of the two signals has trailing
+    silence."""
+    if len(x) == 0:
+        return 0
+    pad = frame // 2
+    xp = np.concatenate([np.zeros(pad), np.asarray(x, np.float64), np.zeros(pad)])
+    n = 1 + (len(xp) - frame) // hop
     idx = np.arange(n)[:, None] * hop + np.arange(frame)[None, :]
-    rms = np.sqrt((x[idx] ** 2).mean(axis=1) + 1e-12)
+    rms = np.sqrt((xp[idx] ** 2).mean(axis=1) + 1e-12)
     db = 20.0 * np.log10(rms / max(rms.max(), 1e-12))
     keep = np.where(db > -top_db)[0]
     if len(keep) == 0:
         return 0
     start = keep[0] * hop
-    end = min(keep[-1] * hop + frame, len(x))
-    return end - start
+    end = min((keep[-1] + 1) * hop, len(x))
+    return max(end - start, 0)
 
 
 def _dct_extract(x, fs, f0min, f0max, mcep_dim=39, n_fft=1024, n_shift=256):

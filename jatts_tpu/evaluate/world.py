@@ -79,7 +79,10 @@ def _linear_smoothing(power: np.ndarray, width: float, fs: int, fft_size: int) -
     half = fft_size // 2
     boundary = int(width * fft_size / fs) + 1
     # mirrored extension (WORLD mirrors both ends)
-    ext = np.concatenate([power[1 : boundary + 1][::-1], power, power[-2 - boundary : -2][::-1] if boundary > 1 else power[-2:-1]])
+    # right-edge mirror around the last bin: power[-2], power[-3], ...,
+    # power[-1-boundary] (the boundary>1 case was off by one, starting at
+    # power[-3] — caught by a brute-force mirrored-smoothing comparison)
+    ext = np.concatenate([power[1 : boundary + 1][::-1], power, power[-1 - boundary : -1][::-1]])
     # ensure long enough
     while len(ext) < half + 1 + 2 * boundary:
         ext = np.concatenate([ext, ext[-1:]])
@@ -223,7 +226,11 @@ def world_extract(
 
     hop = int(fs * MCEP_SHIFT_MS / 1000)
     n_frames = len(x) // hop + 1
-    positions = np.arange(n_frames) * MCEP_SHIFT_MS / 1000.0
+    # positions must match the INTEGER hop the f0 estimator frames with:
+    # exact i*5 ms drifts from i*hop samples when fs % 200 != 0 (22.05/44.1
+    # kHz), so the pitch-adaptive window would be placed with the wrong
+    # frame's f0 by several frames over a few seconds
+    positions = np.arange(n_frames) * (hop / fs)
     f0 = np.asarray(
         estimate_f0(
             jnp.asarray(x / np.iinfo(np.int16).max), fs, hop,

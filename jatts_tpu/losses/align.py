@@ -135,8 +135,18 @@ class ForwardSumLoss:
         blank = jnp.full((bsz, t_feats, 1), jnp.log(blank_prob), lp.dtype)
         lp_pad = jnp.concatenate([blank, lp], axis=-1)
         nll = ctc_forward_sum(lp_pad, ilens, olens)
+        # zero-length rows (pad_batch_to_devices repeats with zeroed lens)
+        # must be exactly inert: excluded from numerator AND denominator.
+        # Infeasible alignments (olens < ilens) are zeroed but stay in the
+        # denominator — torch's zero_infinity=True semantics (reference
+        # forward_sum_loss.py:72) — so one over-cropped utterance cannot
+        # explode the loss.
+        nonpad = (ilens > 0) & (olens > 0)
+        feasible = olens >= ilens
+        nll = jnp.where(nonpad & feasible, nll, 0.0)
         # torch F.ctc_loss(reduction='mean') divides by target length
-        return jnp.mean(nll / jnp.maximum(ilens.astype(nll.dtype), 1.0))
+        per = nll / jnp.maximum(ilens.astype(nll.dtype), 1.0)
+        return jnp.sum(per) / jnp.maximum(jnp.sum(nonpad), 1).astype(per.dtype)
 
 
 class BinLoss:

@@ -19,8 +19,10 @@ class CFMLoss:
 
 
 class EncoderPriorLoss:
-    """Matcha prior loss: masked 0.5*MSE(hs, ys) + 0.5*log(2*pi)
-    (reference flow_matching.py:20-66)."""
+    """Matcha prior loss: masked 0.5*MSE(hs, ys) + log(2*pi)
+    (reference flow_matching.py:60 adds the FULL log(2*pi) — upstream
+    Matcha-TTS uses 0.5*log(2*pi), but parity is with the reference;
+    the constant only shifts the reported value, not gradients)."""
 
     def __init__(self, **kw):
         pass
@@ -31,4 +33,4 @@ class EncoderPriorLoss:
             olens_mask = olens_mask[..., None]
         err = 0.5 * (hs - ys) ** 2
         prior_loss = _masked_mean(err, olens_mask)
-        return prior_loss + 0.5 * jnp.log(2.0 * jnp.pi)
+        return prior_loss + jnp.log(2.0 * jnp.pi)

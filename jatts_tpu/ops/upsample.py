@@ -101,8 +101,15 @@ def gaussian_upsampling(
     c = jnp.cumsum(ds, axis=-1) - ds / 2.0  # [B, T_text]
     energy = -delta * (t[:, :, None] - c[:, None, :]) ** 2  # [B, T_feats, T_text]
     if d_masks is not None:
-        energy = jnp.where(d_masks[:, None, :], energy, -jnp.inf)
+        # finite mask value + explicit zeroing of all-masked rows: -inf would
+        # softmax a fully padded row (e.g. a pad_batch_to_devices repeat with
+        # zeroed lens) to NaN, and NaN * 0 still NaNs the downstream loss
+        energy = jnp.where(d_masks[:, None, :], energy, -1e9)
     p_attn = _softmax_lastaxis(energy)
+    if d_masks is not None:
+        p_attn = jnp.where(
+            d_masks.any(axis=-1)[:, None, None], p_attn, 0.0
+        )
     return jnp.einsum(
         "btj,bjc->btc", p_attn, hs, preferred_element_type=jnp.float32
     ).astype(hs.dtype)

@@ -113,3 +113,27 @@ def test_average_by_duration_only_positive():
     )
     # token 0 covers [0,2,4] -> mean of {2,4}=3; token 1 covers [0,6] -> 6
     np.testing.assert_allclose(got, [[3.0, 6.0]], rtol=1e-6)
+
+
+def test_gaussian_upsampling_all_masked_row_is_inert():
+    """A fully padded row (pad_batch_to_devices repeat with zeroed lens:
+    d_masks all False) must produce zeros, not NaN — the -inf softmax NaN
+    survived mask multiplication and NaNed the whole VITS/Matcha-MAS loss."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from jatts_tpu.ops.upsample import gaussian_upsampling
+
+    rng = np.random.default_rng(0)
+    hs = jnp.asarray(rng.normal(size=(2, 5, 3)).astype(np.float32))
+    ds = jnp.asarray([[2.0, 1.0, 3.0, 0.0, 0.0], [0.0] * 5])
+    d_masks = jnp.asarray([[True, True, True, False, False], [False] * 5])
+    h_masks = jnp.asarray([[True] * 6, [False] * 6])
+    out = gaussian_upsampling(hs, ds, h_masks=h_masks, d_masks=d_masks)
+    assert np.isfinite(np.asarray(out)).all()
+    np.testing.assert_array_equal(np.asarray(out[1]), 0.0)
+    # valid row unchanged vs a batch with no padded rows
+    out_solo = gaussian_upsampling(
+        hs[:1], ds[:1], h_masks=h_masks[:1], d_masks=d_masks[:1]
+    )
+    np.testing.assert_array_equal(np.asarray(out[0]), np.asarray(out_solo[0]))
