@@ -200,11 +200,19 @@ class VALLEBase(nn.Module):
             e_text, text_lens, e_prom, prom_lens, e_resp, resp_lens,
             self.sep.astype(e_text.dtype),
         )
-        x = self.sin_emb(x)
+        # cast the residual stream (and mask) to the compute dtype ONCE:
+        # embeddings/pack/sin_emb are f32, and without this every block's
+        # `(x + h) * m` promoted the bf16 block outputs back to f32 —
+        # doubling the HBM bytes of all residual/mask plumbing per layer
+        x = self.sin_emb(x).astype(self.dtype)
         s_orig = x.shape[1]
-        if self.attn_backend == "flash":
+        from jatts_tpu.modules.attention import flash_pad_needed
+
+        if flash_pad_needed(self.attn_backend, s_orig):
             # flash kernel blocks are 128-wide: pad the packed length (the
-            # pad rows are masked everywhere and sliced off below)
+            # pad rows are masked everywhere and sliced off below). Gated on
+            # the policy, not `== "flash"`, so 'auto' can reach the kernel
+            # at long S (it requires S % 128 == 0)
             s_pad = -s_orig % 128
             if s_pad:
                 x = jnp.pad(x, ((0, 0), (0, s_pad), (0, 0)))
@@ -296,20 +304,17 @@ class VALLEAR(VALLEBase):
         x = self.sin_emb(x)
         m = sequence_mask(prefix_len, x.shape[1], x.dtype)[..., None]
 
-        dh = self.d_model // self.n_heads
         s_total = x.shape[1] + max_steps
         caches_k, caches_v = [], []
         h = x
         for block in self.blocks:
-            normed = block._norm(block.norm_attn, h, None) * m
-            qkv = block.attn.to_qkv(normed)
-            _, k, v = jnp.split(qkv, 3, axis=-1)
-            k = k.reshape(b, -1, self.n_heads, dh)
-            v = v.reshape(b, -1, self.n_heads, dh)
+            # prefill returns this block's K/V alongside the output, so the
+            # per-layer to_qkv projection runs ONCE (it used to run again
+            # inside block())
+            h, k, v = block.prefill(h, m)
             pad = s_total - k.shape[1]
             caches_k.append(jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0))))
             caches_v.append(jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0))))
-            h = block(h, m, None, deterministic=True)
         logits_prefix = self.classifier(h).astype(jnp.float32)
         idx = (prefix_len - 1)[:, None, None]
         last = jnp.take_along_axis(

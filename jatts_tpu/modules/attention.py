@@ -67,6 +67,22 @@ def _attend(scores, v, mask, dropout_rate, deterministic):
     return jnp.einsum("bhqk,bhkd->bhqd", attn.astype(v.dtype), v)
 
 
+# 'auto' backend crossover: XLA materialized attention measured faster than
+# the Pallas flash kernel at every S <= this on v5e-1
+# (benchmarks/bench_flagship_profile.py attn_micro)
+FLASH_AUTO_MIN_LEN = 4096
+
+
+def flash_pad_needed(backend: str, t: int) -> bool:
+    """Whether a caller should pad its sequence length to a 128 multiple for
+    the fused kernel: always under 'flash'; under 'auto' only beyond the
+    XLA-wins region — without this gate 'auto' could never select flash for
+    models that pack non-128-multiple sequences (_flash_ok requires
+    t % 128 == 0), silently materializing [B,H,S,S] at exactly the long
+    lengths 'auto' exists to protect."""
+    return backend == "flash" or (backend == "auto" and t > FLASH_AUTO_MIN_LEN)
+
+
 def _flash_ok(backend: str, mask, t_q: int, t_k: int) -> bool:
     """Trace-time gate for the fused-attention path: TPU-class backend,
     128-divisible sequence lengths (kernel block size), and a per-key
@@ -79,7 +95,7 @@ def _flash_ok(backend: str, mask, t_q: int, t_k: int) -> bool:
     import jax
 
     if backend == "auto":
-        if t_k <= 4096:
+        if t_k <= FLASH_AUTO_MIN_LEN:
             return False
     elif backend != "flash":
         return False

@@ -50,12 +50,6 @@ def resolve_rel_pos_types(
     return pos_enc_layer_type, selfattention_layer_type
 
 
-class Swish(nn.Module):
-    @nn.compact
-    def __call__(self, x):
-        return x * nn.sigmoid(x)
-
-
 def _activation(name: str):
     return {
         "swish": nn.silu,
@@ -111,10 +105,13 @@ class ConvolutionModule(nn.Module):
     """Pointwise-GLU -> depthwise -> BN -> swish -> pointwise
     (reference conformer/convolution.py:13-80).
 
-    Padding frames are zeroed before the depthwise conv so padded batches
-    produce identical results to unpadded ones (the reference leaks padding
-    through the conv; we mask — numerically equivalent on valid frames when
-    inputs are properly masked upstream).
+    Padding frames are zeroed before the depthwise conv so the conv itself
+    never reads stale padding (the reference leaks padding through the
+    conv). NOTE: train-mode BatchNorm still reduces over (B, T) INCLUDING
+    the zeroed padding frames — same as the reference's nn.BatchNorm1d —
+    so BN statistics (and therefore valid-frame outputs in training) do
+    depend on the bucket's padding fraction; full padding-invariance would
+    require masked BN, which would break reference parity.
     """
 
     channels: int
@@ -197,7 +194,10 @@ class EncoderLayer(nn.Module):
             h = ln("norm_ff_macaron")(x) if self.normalize_before else x
             # LN(0) = bias != 0 on padded rows — re-mask before the k>1 conv
             h = ffn_call("feed_forward_macaron", zero_pad(h))
-            x = zero_pad(residual + ff_scale * drop(h, deterministic=deterministic))
+            x = residual + ff_scale * drop(h, deterministic=deterministic)
+            if not self.normalize_before:  # post-norm after the residual
+                x = ln("norm_ff_macaron")(x)  # (reference encoder_layer.py:124)
+            x = zero_pad(x)
 
         residual = x
         h = ln("norm_mha")(x) if self.normalize_before else x
@@ -219,7 +219,10 @@ class EncoderLayer(nn.Module):
                 dtype=self.dtype, attn_backend=self.attn_backend,
                 name="self_attn",
             )(h, h, h, mask, deterministic=deterministic)
-        x = zero_pad(residual + drop(att, deterministic=deterministic))
+        x = residual + drop(att, deterministic=deterministic)
+        if not self.normalize_before:
+            x = ln("norm_mha")(x)  # post-norm (reference encoder_layer.py:148)
+        x = zero_pad(x)
 
         if self.use_cnn_module:
             residual = x
@@ -229,11 +232,16 @@ class EncoderLayer(nn.Module):
                 dtype=self.dtype, name="conv_module",
             )(h, pad_mask_t, deterministic=deterministic)
             x = residual + drop(h, deterministic=deterministic)
+            if not self.normalize_before:
+                x = ln("norm_conv")(x)  # post-norm (reference :160)
 
         residual = x
         h = ln("norm_ff")(x) if self.normalize_before else x
         h = ffn_call("feed_forward", zero_pad(h))
-        x = zero_pad(residual + ff_scale * drop(h, deterministic=deterministic))
+        x = residual + ff_scale * drop(h, deterministic=deterministic)
+        if not self.normalize_before:
+            x = ln("norm_ff")(x)  # post-norm (reference :170)
+        x = zero_pad(x)
 
         if self.use_cnn_module:
             x = ln("norm_final")(x)

@@ -233,7 +233,9 @@ class UNetT(nn.Module):
             )
 
         s_orig = h.shape[1]
-        if self.attn_backend == "flash":
+        from jatts_tpu.modules.attention import flash_pad_needed
+
+        if flash_pad_needed(self.attn_backend, s_orig):
             s_pad = -s_orig % 128
             if s_pad:
                 # pad rows MUST be masked out as keys, so materialize a mask

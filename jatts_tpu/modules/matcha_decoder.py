@@ -130,6 +130,9 @@ class BasicTransformerBlock(nn.Module):
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, t, inner)
         out = nn.Dense(self.dim, dtype=self.dtype, name="to_out")(out)
+        # diffusers Attention's to_out = [Linear, Dropout(p)]
+        # (reference transformer.py:222-230 passes dropout=dropout)
+        out = nn.Dropout(self.dropout_rate)(out, deterministic=deterministic)
         x = x + out
 
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x)

@@ -39,9 +39,8 @@ class Postnet(nn.Module):
     @nn.compact
     def __call__(self, xs, deterministic: bool = True):
         for layer in range(self.n_layers - 1):
-            ochans = self.odim if layer == self.n_layers - 1 else self.n_chans
             xs = nn.Conv(
-                ochans, (self.n_filts,), padding="SAME", use_bias=False,
+                self.n_chans, (self.n_filts,), padding="SAME", use_bias=False,
                 dtype=self.dtype, name=f"conv_{layer}",
             )(xs)
             if self.use_batch_norm:

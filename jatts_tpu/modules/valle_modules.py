@@ -114,6 +114,23 @@ class VALLEAttention(nn.Module):
         o = o.reshape(x.shape)
         return self.to_out(o) * m
 
+    def prefill(self, x, m):
+        """__call__'s XLA branch that ALSO returns the [B, T, H, Dh] k/v —
+        AR cache priming would otherwise re-run to_qkv a second time inside
+        __call__ (one wasted [B,S,D]x[D,3D] matmul per layer per decode)."""
+        q, k, v = jnp.split(self.to_qkv(x), 3, axis=-1)
+        q, k, v = self._split(q), self._split(k), self._split(v)
+        scale = (self.d_model // self.n_heads) ** -0.5
+        t = x.shape[1]
+        e = jnp.einsum("bihd,bjhd->bhij", q, k) * scale
+        kpm = (m[:, :, 0][:, None, :, None] * m[:, :, 0][:, None, None, :]) > 0
+        if self.causal:
+            kpm = kpm & jnp.tril(jnp.ones((t, t), bool))[None, None]
+        e = jnp.where(kpm, e, _MASK_VAL)
+        a = nn.softmax(e, axis=-1)
+        o = jnp.einsum("bhij,bjhd->bihd", a, v)
+        return self.to_out(o.reshape(x.shape)) * m, k, v
+
     def decode_step(self, x_t, cache_k, cache_v, write_pos):
         """Single-token causal step.
 
@@ -194,6 +211,15 @@ class VALLEBlock(nn.Module):
         h = self._ffn(self._norm(self.norm_ffn, x, level) * m, deterministic)
         x = (x + self.drop(h, deterministic=deterministic)) * m
         return x
+
+    def prefill(self, x, m):
+        """Deterministic __call__ that also returns this block's K/V
+        ([B, T, H, Dh]) for AR cache priming."""
+        h, k, v = self.attn.prefill(self._norm(self.norm_attn, x, None) * m, m)
+        x = (x + h) * m
+        h = self._ffn(self._norm(self.norm_ffn, x, None) * m, True)
+        x = (x + h) * m
+        return x, k, v
 
     def decode_step(self, x_t, cache_k, cache_v, write_pos):
         h = self._norm(self.norm_attn, x_t, None)

@@ -342,3 +342,49 @@ def test_forward_sum_loss_reference_parity():
         jnp.array(logp), jnp.array(ilens), jnp.array(olens)
     )
     np.testing.assert_allclose(float(got), float(want), rtol=2e-4, atol=1e-5)
+
+
+def test_conformer_encoder_postnorm_reference_parity():
+    """normalize_before=False (post-norm) applies every sub-block LN AFTER
+    the residual add (reference conformer/encoder_layer.py:115-170) and no
+    encoder-level after_norm — a supported config field that previously ran
+    with no layer norms at all."""
+    renc = load_reference("modules.conformer.encoder")
+    torch.manual_seed(0)
+    tenc = renc.Encoder(
+        pos_enc_layer_type="legacy_rel_pos",
+        selfattention_layer_type="legacy_rel_selfattn",
+        normalize_before=False,
+        **_ENC_CFG,
+    ).eval()
+    rng = np.random.default_rng(0)
+    xs = rng.integers(1, _ENC_CFG["idim"], (2, 11))
+    tmask = torch.ones(2, 1, 11, dtype=torch.bool)
+    with torch.no_grad():
+        want, _ = tenc(torch.from_numpy(xs), tmask)
+    want = want.numpy()
+
+    sd = {f"enc.{k}": v.detach().numpy() for k, v in tenc.state_dict().items()}
+    params, batch_stats = convert_conformer_encoder(
+        sd, "enc", _ENC_CFG["num_blocks"], has_embed=True, macaron=True,
+        use_cnn=True,
+    )
+    c = _ENC_CFG
+    ours = ConformerEncoder(
+        attention_dim=c["attention_dim"], attention_heads=c["attention_heads"],
+        linear_units=c["linear_units"], num_blocks=c["num_blocks"],
+        dropout_rate=0.0, positional_dropout_rate=0.0,
+        attention_dropout_rate=0.0, input_layer="embed", idim=c["idim"],
+        positionwise_layer_type="conv1d", positionwise_conv_kernel_size=3,
+        macaron_style=True, use_cnn_module=True, cnn_module_kernel=7,
+        pos_enc_layer_type="legacy_rel_pos",
+        selfattention_layer_type="legacy_rel_selfattn",
+        normalize_before=False,
+    )
+    got = np.asarray(
+        ours.apply(
+            {"params": params, "batch_stats": batch_stats},
+            jnp.array(xs), jnp.array(tmask.numpy()), deterministic=True,
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
