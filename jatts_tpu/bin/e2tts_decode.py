@@ -112,12 +112,20 @@ def main():
         ids = conv.tokens2ids(
             row["prompt_phonemes"].split(" ") + ["<blank>"] + row["phonemes"].split(" ")
         )
-        n_prompt = len(prompt_mel)
         n_gen = int(len(row["phonemes"].split(" ")) * args.frames_per_phone)
-        duration = min(n_prompt + n_gen, args.max_frames)
         t_max = args.max_frames
+        # clamp the prompt so generation capacity remains: an over-long
+        # prompt (> max_frames - n_gen) would otherwise make the generated
+        # slice [n_prompt:duration] empty (or point past the cond buffer)
+        n_prompt = min(len(prompt_mel), max(t_max - n_gen, 0))
+        if n_prompt < len(prompt_mel):
+            logging.warning(
+                f"{row['sample_id']}: prompt truncated "
+                f"{len(prompt_mel)} -> {n_prompt} frames to fit --max-frames"
+            )
+        duration = min(n_prompt + n_gen, t_max)
         cond = np.zeros((1, t_max, config["num_mels"]), np.float32)
-        cond[0, :n_prompt] = prompt_mel[:t_max]
+        cond[0, :n_prompt] = prompt_mel[:n_prompt]
         text = -np.ones((1, len(ids)), np.int32)
         text[0] = ids
         out = infer(

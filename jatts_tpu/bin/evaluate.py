@@ -53,6 +53,19 @@ def levenshtein(a: str, b: str) -> int:
     return prev[-1]
 
 
+def _worker_init():
+    """Force CPU in pool workers BEFORE any backend initializes: the
+    metric path runs jitted jax ops, and N extra jax processes contending
+    for a (single-client) TPU runtime can silently kill the main process —
+    WORLD/MCD work is CPU-appropriate anyway."""
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:  # noqa: BLE001 — backend already up; proceed
+        pass
+
+
 def _eval_one(task):
     utt, gen_path, ref_path, sr, f0min, f0max, mcep_method = task
     gen, _ = read_audio(gen_path, sr)
@@ -217,7 +230,15 @@ def main():
         # process-parallel like the reference's mp.Manager fan-out
         # (evaluate.py:277-299)
         if args.n_jobs > 1:
-            with ProcessPoolExecutor(max_workers=args.n_jobs) as ex:
+            import multiprocessing
+
+            # spawn (not fork): forked children would inherit the parent's
+            # already-initialized jax backend state
+            with ProcessPoolExecutor(
+                max_workers=args.n_jobs,
+                mp_context=multiprocessing.get_context("spawn"),
+                initializer=_worker_init,
+            ) as ex:
                 results = list(ex.map(_eval_one, tasks))
         else:
             results = [_eval_one(t) for t in tasks]

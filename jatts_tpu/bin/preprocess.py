@@ -143,16 +143,22 @@ def main():
     logging.info(f"processed {len(rows)} utterances -> {args.dumpdir}")
 
 
+_ENCODEC_CACHE: dict = {}
+
+
 def _extract_encodec(wav, sr, codec_path=None):
     """EnCodec RVQ codes [T, 8] via transformers when local weights exist
-    (the reference's extractor, feature_extract/encodec.py:18-100)."""
+    (the reference's extractor, feature_extract/encodec.py:18-100). The
+    model is cached per codec_path — reloading weights per utterance (2N
+    loads with prompts) adds hours on a real corpus."""
     try:
         import torch  # noqa: PLC0415
         from transformers import EncodecModel  # noqa: PLC0415
 
-        model = EncodecModel.from_pretrained(
-            codec_path or "facebook/encodec_24khz"
-        ).eval()
+        key = codec_path or "facebook/encodec_24khz"
+        if key not in _ENCODEC_CACHE:
+            _ENCODEC_CACHE[key] = EncodecModel.from_pretrained(key).eval()
+        model = _ENCODEC_CACHE[key]
         with torch.no_grad():
             out = model.encode(torch.from_numpy(wav)[None, None], bandwidth=6.0)
         return out.audio_codes[0, 0].T.numpy().astype(np.int32)

@@ -125,12 +125,17 @@ def main():
         infer_kwargs = dict(noise_scale=float(config.get("noise_scale", 0.667)))
 
     @jax.jit
-    def infer(variables, xs, ilens, rng):
+    def infer(variables, xs, ilens, rng, spembs=None):
         return model.apply(
-            variables, xs, ilens, args.max_frames,
+            variables, xs, ilens, args.max_frames, spembs,
             method=type(model).inference, rngs={"noise": rng},
             **infer_kwargs,
         )
+
+    # multi-speaker (JVS-style spkemb conditioning): without this the jvs
+    # recipes would decode every utterance with NO speaker identity —
+    # wrong-but-plausible audio, no error
+    use_spembs = bool((config.get("model_params") or {}).get("spk_embed_dim"))
 
     os.makedirs(os.path.join(args.outdir, "wav"), exist_ok=True)
     sr = int(config.get("sampling_rate", 24000))
@@ -147,8 +152,20 @@ def main():
         for j, it in enumerate(chunk):
             xs[j, : len(it["x"])] = it["x"]
             ilens[j] = len(it["x"])
+        spembs = None
+        if use_spembs:
+            missing = [it["utt_id"] for it in chunk if "spkemb" not in it]
+            if missing:
+                raise KeyError(
+                    f"model has spk_embed_dim but no spkemb feature for "
+                    f"{missing[:3]} — add 'spkemb' to feat_list/preprocess"
+                )
+            spembs = jnp.asarray(np.stack([
+                np.asarray(it["spkemb"], np.float32).reshape(-1) for it in chunk
+            ]))
         start = time.time()
-        out = infer(variables, jnp.asarray(xs), jnp.asarray(ilens), jax.random.key(i))
+        out = infer(variables, jnp.asarray(xs), jnp.asarray(ilens),
+                    jax.random.key(i), spembs)
         feats = np.asarray(out["feat_gen"], np.float32)
         olens = np.asarray(out["olens"])
         elapsed = time.time() - start

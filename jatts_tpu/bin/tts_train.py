@@ -146,8 +146,23 @@ def main():
     else:
         sampler = BatchSampler(lengths, int(config.get("batch_size", 16)), seed=args.seed)
 
+    collater_kwargs = {"out_feat_type": config.get("out_feat_type", "mel")}
+    # YAML `collater_params:` reaches the collater's real knobs (pad
+    # multiples, prompt crop, seed) — previously only out_feat_type was
+    # constructible from config
+    collater_kwargs.update(config.get("collater_params") or {})
+    if (
+        config.get("collater_type") == "VALLECollater"
+        and "prompt_max_frame_length" not in collater_kwargs
+        and "prompt_max_frame_length" in model_params
+    ):
+        # keep the collater's prompt crop consistent with the model config
+        # (the reference crops inside the model, so one yaml key rules both)
+        collater_kwargs["prompt_max_frame_length"] = int(
+            model_params["prompt_max_frame_length"]
+        )
     collater = COLLATER_REGISTRY[config.get("collater_type", "FastSpeech2Collater")](
-        out_feat_type=config.get("out_feat_type", "mel")
+        **collater_kwargs
     )
     # background prefetch overlaps h5 reads/collation with device steps
     # (the reference's DataLoader num_workers analog). With
@@ -229,8 +244,14 @@ def main():
         trainer.run()
     finally:
         signal.signal(signal.SIGTERM, prev_term)  # don't leak into callers
-        trainer.save_checkpoint()
-        logging.info(f"saved final checkpoint at {trainer.steps} steps")
+        try:
+            trainer.save_checkpoint()
+            logging.info(f"saved final checkpoint at {trainer.steps} steps")
+        except Exception as e:  # noqa: BLE001
+            # a non-SIGTERM abort (Ctrl-C, device OOM) can land between a
+            # donating dispatch and the state rebind, leaving deleted
+            # buffers — a raise here would MASK the original exception
+            logging.error(f"final checkpoint save failed: {e}")
 
 
 if __name__ == "__main__":

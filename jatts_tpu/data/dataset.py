@@ -94,9 +94,19 @@ class TTSDataset:
         tokens = row[self.phoneme_column].split(" ")
         return np.asarray(self.token_converter.tokens2ids(tokens), dtype=np.int64)
 
-    def _load_feats(self, feat_path: str, items: Dict[str, Any]) -> None:
+    def _load_feats(
+        self, feat_path: str, items: Dict[str, Any], lenient: bool = False
+    ) -> None:
         for feat in self.feat_list:
-            x = np.asarray(read_hdf5(feat_path, feat))
+            try:
+                x = np.asarray(read_hdf5(feat_path, feat))
+            except (FileNotFoundError, KeyError, OSError):
+                if lenient:
+                    # inference dumps may carry only reference info (e.g.
+                    # spkemb without mel) — skip per-feature, don't abort
+                    # the whole load and lose the features that DO exist
+                    continue
+                raise
             if self.scaler is not None:
                 x = self.scaler.transform(feat, x)
             if feat in ("pitch", "energy") and x.ndim == 1:
@@ -123,10 +133,7 @@ class TTSDataset:
         else:
             # inference may still need reference info (spkemb / prompts)
             if "feat_path" in row and row.get("feat_path"):
-                try:
-                    self._load_feats(row["feat_path"], items)
-                except (FileNotFoundError, KeyError, OSError):
-                    logging.debug("no features for inference utt %s", items.get("utt_id"))
+                self._load_feats(row["feat_path"], items, lenient=True)
         if self.prompt_strategy is not None:
             self._load_prompt(row, items)
         for k in ("ref_wav_path", "wav_path", "original_text"):

@@ -47,9 +47,19 @@ def make_mel_eval_hook(
         for j, it in enumerate(items):
             xs[j, : len(it["x"])] = it["x"]
             ilens[j] = len(it["x"])
+        # speaker conditioning (multi-speaker recipes): pass spembs when the
+        # model integrates them — otherwise intermediate previews (and their
+        # plots) silently lose speaker identity
+        spembs = None
+        if getattr(model, "spk_embed_dim", None) and all(
+            "spkemb" in it for it in items
+        ):
+            spembs = jnp.asarray(np.stack([
+                np.asarray(it["spkemb"], np.float32).reshape(-1) for it in items
+            ]))
         start = time.time()
         out = model.apply(
-            variables, jnp.asarray(xs), jnp.asarray(ilens), max_frames,
+            variables, jnp.asarray(xs), jnp.asarray(ilens), max_frames, spembs,
             method=type(model).inference, rngs={"noise": jax.random.key(trainer.steps)},
             **infer_kwargs,
         )

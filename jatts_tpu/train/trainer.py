@@ -286,9 +286,14 @@ class Trainer:
                 for dk, stats in self._flush_pending():
                     self._after_steps(dk, stats, log_every, save_every,
                                       eval_every, t0)
+                    if self.steps >= max_steps:  # flush may cross the budget
+                        self.finish_train = True
+                        break
             self.epochs += 1
-        for dk, stats in self._flush_pending():
-            self._after_steps(dk, stats, log_every, save_every, eval_every, t0)
+        # training is over: DISCARD (don't run) any partially filled K-step
+        # buffer — flushing here would train up to K-1 steps past
+        # train_max_steps and misname the final checkpoint
+        self._pending_batches = []
         logging.info(f"finished training at {self.steps} steps")
 
     def _dispatch(self, prepped):
@@ -400,13 +405,19 @@ class Trainer:
         if not start:
             return
         n = int(self.config.get("profile_num_steps", 5))
-        if self.steps == start:
+        # boundary-crossing (not ==): under steps_per_execution=K the step
+        # counter advances K at a time and can jump PAST start / start+n —
+        # an equality check would then never start (or never stop) the trace
+        started = getattr(self, "_profile_started", False)
+        stopped = getattr(self, "_profile_stopped", False)
+        if not started and self.steps >= start:
             import jax.profiler
 
+            self._profile_started = True
             self._profile_dir = os.path.join(self.outdir, "profile")
             jax.profiler.start_trace(self._profile_dir)
             logging.info(f"profiler trace started -> {self._profile_dir}")
-        elif self.steps == start + n:
+        elif started and not stopped and self.steps >= start + n:
             import jax.profiler
 
             jax.tree_util.tree_map(
@@ -414,6 +425,7 @@ class Trainer:
                 self.state.params,
             )
             jax.profiler.stop_trace()
+            self._profile_stopped = True
             logging.info("profiler trace stopped")
 
     def _device_memory_stats(self) -> Dict[str, float]:
@@ -443,7 +455,11 @@ class Trainer:
             if rank0:
                 self.writer.add_scalar(k, avg, self.steps)
             msgs.append(f"{k}={avg:.4f}")
-        lr = float(self.schedule(self.steps))
+        # with optax.MultiSteps the inner optimizer's count (which indexes
+        # the schedule) advances once per `accum` micro-steps — log the LR
+        # actually applied, not schedule(micro_steps)
+        accum = int(self.config.get("gradient_accumulate_steps", 1) or 1)
+        lr = float(self.schedule(self.steps // accum))
         if rank0:
             self.writer.add_scalar("train/lr", lr, self.steps)
             for k, v in self._device_memory_stats().items():
@@ -486,7 +502,10 @@ class Trainer:
         rank0 = jax.process_index() == 0  # rank-0 tensorboard (ref base.py)
         for k, v in totals.items():
             if rank0:
-                self.writer.add_scalar(f"eval/{k}", v / max(count, 1), self.steps)
+                # loss fns emit 'train/<name>' keys — strip so eval tags are
+                # 'eval/<name>', not 'eval/train/<name>'
+                tag = k.split("/", 1)[1] if k.startswith("train/") else k
+                self.writer.add_scalar(f"eval/{tag}", v / max(count, 1), self.steps)
         logging.info(
             f"(steps {self.steps}) eval "
             + " ".join(f"{k}={v / max(count, 1):.4f}" for k, v in sorted(totals.items()))
