@@ -65,15 +65,11 @@ def main():
                 if os.path.exists(lab):
                     # shared Julius pipeline: phonemes/durations/crop all come
                     # from the alignment (reference data_prep_post_julius)
-                    import wave as _wave
-
-                    with _wave.open(wav_path, "rb") as w:
-                        n_raw = int(round(w.getnframes() * args.fs / w.getframerate()))
-                    with open(lab, encoding="utf-8") as f:
-                        first = f.read().splitlines()
                     from jatts_tpu.text.julius import parse_lab
 
-                    _, _, ustart, uend = parse_lab(first)
+                    n_raw = _wav_n_samples(wav_path, args.fs)
+                    with open(lab, encoding="utf-8") as f:
+                        _, _, ustart, uend = parse_lab(f.read().splitlines())
                     n_samples = cropped_n_samples(ustart, uend, args.fs, n_raw)
                     upd = lab_to_row_updates(lab, n_samples, args.hop_size, args.fs)
                     if upd is not None:

@@ -15,7 +15,19 @@ sys.path.insert(
 )
 
 from jatts_tpu.text import g2p_phonemes  # noqa: E402
+from jatts_tpu.text.julius import (  # noqa: E402
+    cropped_n_samples,
+    lab_to_row_updates,
+    parse_lab,
+)
 from jatts_tpu.utils.io import write_csv  # noqa: E402
+
+
+def _wav_n_samples(wav_path, fs):
+    import wave
+
+    with wave.open(wav_path, "rb") as w:
+        return int(round(w.getnframes() * fs / w.getframerate()))
 
 
 def main():
@@ -24,6 +36,13 @@ def main():
     parser.add_argument("--outdir", default="data")
     parser.add_argument("--dev-per-spk", type=int, default=3)
     parser.add_argument("--test-per-spk", type=int, default=3)
+    parser.add_argument(
+        "--labdir", default=None,
+        help="forced-alignment .lab dir (<spk>_<utt>.lab) — required for the "
+        "external-duration FastSpeech2 conf; MAS confs train without it",
+    )
+    parser.add_argument("--hop-size", type=int, default=300)
+    parser.add_argument("--fs", type=int, default=24000)
     args = parser.parse_args()
 
     train, dev, test = [], [], []
@@ -42,26 +61,45 @@ def main():
                 wav_path = os.path.join(wavdir, f"{utt}.wav")
                 if not os.path.exists(wav_path):
                     continue
-                rows.append(
-                    {
-                        "sample_id": f"{spk}_{utt}",
-                        "spk": spk,
-                        "wav_path": wav_path,
-                        "start": "",
-                        "end": "",
-                        "original_text": text,
-                        "phonemes": " ".join(g2p_phonemes(text)),
-                        "ref_wav_path": "",
-                    }
-                )
+                row = {
+                    "sample_id": f"{spk}_{utt}",
+                    "spk": spk,
+                    "wav_path": wav_path,
+                    "start": "",
+                    "end": "",
+                    "original_text": text,
+                    "phonemes": " ".join(g2p_phonemes(text)),
+                    "ref_wav_path": "",
+                }
+                if args.labdir:
+                    lab = os.path.join(args.labdir, f"{spk}_{utt}.lab")
+                    if os.path.exists(lab):
+                        # Julius alignment -> phonemes/durations/crop (same
+                        # shared pipeline as egs/jsut/tts1)
+                        n_raw = _wav_n_samples(wav_path, args.fs)
+                        with open(lab, encoding="utf-8") as lf:
+                            _, _, ustart, uend = parse_lab(lf.read().splitlines())
+                        n_samples = cropped_n_samples(
+                            ustart, uend, args.fs, n_raw
+                        )
+                        upd = lab_to_row_updates(
+                            lab, n_samples, args.hop_size, args.fs
+                        )
+                        if upd is not None:
+                            row.update(upd)
+                rows.append(row)
         if not rows:
             continue
-        # first utterance as spkemb reference for held-out decoding
+        n_held = args.test_per_spk + args.dev_per_spk
+        # spkemb reference must come from the TRAIN slice: rows[0] lands in
+        # the test split, so using it leaked held-out audio into training
+        # features (and made "held-out" decoding condition on itself)
+        ref_wav = rows[n_held]["wav_path"] if len(rows) > n_held else rows[-1]["wav_path"]
         for r in rows:
-            r["ref_wav_path"] = rows[0]["wav_path"]
+            r["ref_wav_path"] = ref_wav
         test.extend(rows[: args.test_per_spk])
-        dev.extend(rows[args.test_per_spk : args.test_per_spk + args.dev_per_spk])
-        train.extend(rows[args.test_per_spk + args.dev_per_spk :])
+        dev.extend(rows[args.test_per_spk : n_held])
+        train.extend(rows[n_held:])
 
     os.makedirs(args.outdir, exist_ok=True)
     write_csv(train, os.path.join(args.outdir, "train.csv"))

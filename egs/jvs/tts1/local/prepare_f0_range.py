@@ -48,6 +48,10 @@ def main():
             )
             f0s.append(f0[f0 > 0])
         f0s = np.concatenate(f0s) if f0s else np.zeros(1)
+        if f0s.size == 0:
+            # all clips unvoiced (len-0 after the f0>0 filter): percentile
+            # would raise on a zero-size array — fall back to full range
+            f0s = np.zeros(1)
         # generous margins around the 1st/99th percentiles
         ranges[spk] = {
             "f0min": int(max(np.percentile(f0s, 1) * 0.8, 40)),

@@ -1,13 +1,14 @@
 #!/bin/bash
-# JSUT tts1 recipe: external (forced-aligner) durations
-# (mirrors reference egs/jsut/tts1/run.sh:84-278 stage semantics).
+# JVS tts1 recipe (multi-speaker, external forced-aligner durations) —
+# mirrors reference egs/jvs/tts1/run.sh stage semantics.
 set -euo pipefail
 
 stage=1
 stop_stage=5
 conf=conf/fastspeech2.v1.yaml
 tag=""
-db_root=downloads/jsut
+db_root=downloads/jvs_ver1
+labdir=""   # Julius .lab dir (<spk>_<utt>.lab); required for FastSpeech2 durations
 train_csv=data/train.csv
 dev_csv=data/dev.csv
 test_csv=data/test.csv
@@ -21,12 +22,12 @@ expdir=exp/${expname}
 BIN=../../../jatts_tpu/bin
 
 if [ "${stage}" -le -1 ] && [ "${stop_stage}" -ge -1 ]; then
-    echo "Stage -1: Download JSUT corpus to ${db_root} (manual; zero-egress images skip this)"
+    echo "Stage -1: Download JVS corpus to ${db_root} (manual; zero-egress images skip this)"
 fi
 
 if [ "${stage}" -le 0 ] && [ "${stop_stage}" -ge 0 ]; then
     echo "Stage 0: Data preparation"
-    python local/data_prep.py --db-root "${db_root}" --outdir data
+    python local/data_prep.py --db-root "${db_root}" --outdir data ${labdir:+--labdir "${labdir}"}
 fi
 
 if [ "${stage}" -le 1 ] && [ "${stop_stage}" -ge 1 ]; then

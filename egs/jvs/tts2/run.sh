@@ -1,13 +1,13 @@
 #!/bin/bash
-# JSUT tts1 recipe: external (forced-aligner) durations
-# (mirrors reference egs/jsut/tts1/run.sh:84-278 stage semantics).
+# JVS tts2 recipe (multi-speaker, implicit MAS alignment — no external
+# durations) — mirrors reference egs/jvs/tts2/run.sh stage semantics.
 set -euo pipefail
 
 stage=1
 stop_stage=5
 conf=conf/matcha_tts.mas.v1.yaml
 tag=""
-db_root=downloads/jsut
+db_root=downloads/jvs_ver1
 train_csv=data/train.csv
 dev_csv=data/dev.csv
 test_csv=data/test.csv
@@ -21,7 +21,7 @@ expdir=exp/${expname}
 BIN=../../../jatts_tpu/bin
 
 if [ "${stage}" -le -1 ] && [ "${stop_stage}" -ge -1 ]; then
-    echo "Stage -1: Download JSUT corpus to ${db_root} (manual; zero-egress images skip this)"
+    echo "Stage -1: Download JVS corpus to ${db_root} (manual; zero-egress images skip this)"
 fi
 
 if [ "${stage}" -le 0 ] && [ "${stop_stage}" -ge 0 ]; then

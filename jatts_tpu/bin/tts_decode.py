@@ -99,7 +99,6 @@ def main():
     mel_mean = np.asarray(read_hdf5(args.stats, "mel_mean"))
     mel_scale = np.asarray(read_hdf5(args.stats, "mel_scale"))
 
-    vocoder = None
     voc_cfg = config.get("vocoder") or {}
     if args.vocoder != "griffin_lim" and voc_cfg.get("checkpoint") \
             and os.path.exists(voc_cfg["checkpoint"]):
@@ -108,11 +107,18 @@ def main():
         vocoder = Vocoder(
             voc_cfg["checkpoint"], voc_cfg["config"], voc_cfg.get("stats")
         )
-    elif args.vocoder == "griffin_lim":
+    else:
         # weights-free fallback (the reference always requires a
-        # parallel_wavegan checkpoint; see vocoder.GriffinLimVocoder)
+        # parallel_wavegan checkpoint): under --vocoder auto with NO usable
+        # checkpoint this used to silently write only *_mel.npy — no wav/ —
+        # and stage 5 then failed on the empty wavdir
         from jatts_tpu.vocoder import GriffinLimVocoder
 
+        if args.vocoder != "griffin_lim" and voc_cfg.get("checkpoint"):
+            logging.warning(
+                f"vocoder checkpoint {voc_cfg['checkpoint']} not found; "
+                "falling back to Griffin-Lim"
+            )
         vocoder = GriffinLimVocoder(config)
 
     infer_kwargs = {}

@@ -70,7 +70,11 @@ def fbank(
     n_mels: int = 80,
 ) -> jnp.ndarray:
     """Log-mel fbank [B, T, n_mels] from [B, S] 16 kHz audio."""
-    win = jnp.asarray(np.hamming(n_fft).astype(np.float32))
+    # PERIODIC hamming (torch.hamming_window default, what speechbrain's
+    # Fbank trains with) = symmetric window of N+1 dropping the last sample;
+    # np.hamming(N) alone is symmetric (denominator N-1) and deviates at
+    # every sample
+    win = jnp.asarray(np.hamming(n_fft + 1)[:-1].astype(np.float32))
     pad = n_fft // 2
     x = jnp.pad(wav, ((0, 0), (pad, pad)))  # center, constant
     n_frames = 1 + (x.shape[1] - n_fft) // hop

@@ -32,7 +32,15 @@ _DIGRAPHS = {
     "うぃ": "w i", "うぇ": "w e", "うぉ": "w o",
     "つぁ": "ts a", "つぃ": "ts i", "つぇ": "ts e", "つぉ": "ts o",
     "しぇ": "sh e", "じぇ": "j e", "ちぇ": "ch e",
-    "いぇ": "y e", "ヴぁ": "b a", "ヴぃ": "b i", "ヴぇ": "b e", "ヴぉ": "b o",
+    # ゔ (hiragana vu): _kata_to_hira runs BEFORE the digraph lookup, so the
+    # keys must be hiragana — katakana ヴ* keys were unreachable
+    "いぇ": "y e", "ゔぁ": "b a", "ゔぃ": "b i", "ゔぇ": "b e", "ゔぉ": "b o",
+    "ゔゅ": "by u",
+}
+
+_SMALL_FALLBACK = {
+    "ぁ": "a", "ぃ": "i", "ぅ": "u", "ぇ": "e", "ぉ": "o",
+    "ゃ": "a", "ゅ": "u", "ょ": "o", "ゎ": "a",
 }
 
 _MONO = {
@@ -84,6 +92,11 @@ def kana_to_phonemes(kana: str) -> List[str]:
             p = _MONO[c]
             if p not in (":", "q"):
                 phones.extend(p.split())
+        elif c in _SMALL_FALLBACK:
+            # a small kana that did not combine into a digraph (loanword
+            # spellings like フィ with an unlisted base): keep its vowel
+            # instead of silently dropping the mora
+            phones.append(_SMALL_FALLBACK[c])
         i += 1
     return phones
 

@@ -44,6 +44,11 @@ def write_csv(data: Sequence[Dict[str, Any]], path: str, fieldnames: Sequence[st
     """reference utils.py:78-100."""
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     if fieldnames is None:
+        if not data:
+            raise ValueError(
+                f"write_csv: no rows for {path} — data prep found nothing "
+                "(wrong --db-root / corpus layout, or every row filtered)"
+            )
         fieldnames = list(data[0].keys())
     with open(path, "w", newline="") as f:
         writer = csv.DictWriter(f, fieldnames=list(fieldnames), extrasaction="ignore")
