@@ -23,20 +23,29 @@ def _load_reference_post_julius(n_samples: int):
     """Load the reference script with librosa.load stubbed to a fixed-length
     signal so calculate_frames' expected-total matches ours."""
     torch = pytest.importorskip("torch")  # noqa: F841 (image parity w/ other refs)
-    from reference_loader import _install_stubs
+    from reference_loader import _CREATED_STUBS, _STUBBED_TOPS, _install_stubs
 
     _install_stubs()
     sys.modules["librosa"].load = lambda *a, **k: (np.zeros(n_samples), 24000)
     # script imports jatts.utils.utils (needs /root/reference on path)
     if "/root/reference" not in sys.path:
         sys.path.insert(0, "/root/reference")
-    spec = importlib.util.spec_from_file_location(
-        "ref_post_julius", "/root/reference/utils/data_prep_post_julius.py"
-    )
-    mod = importlib.util.module_from_spec(spec)
-    # tqdm may be real; yaml real; soundfile stubbed by _install_stubs
-    spec.loader.exec_module(mod)
-    return mod
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "ref_post_julius", "/root/reference/utils/data_prep_post_julius.py"
+        )
+        mod = importlib.util.module_from_spec(spec)
+        # tqdm may be real; yaml real; soundfile stubbed by _install_stubs
+        spec.loader.exec_module(mod)
+        return mod
+    finally:
+        # confine stubs to the import window (same as load_reference's
+        # finally): a leaked fake librosa with __spec__=None breaks any
+        # later `import transformers` in this pytest process
+        for mod_name in _CREATED_STUBS:
+            sys.modules.pop(mod_name, None)
+        _CREATED_STUBS.clear()
+        _STUBBED_TOPS.clear()
 
 
 def test_calculate_frames_reference_parity():

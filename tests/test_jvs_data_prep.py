@@ -50,11 +50,18 @@ def test_jvs_data_prep_with_labdir(tmp_path):
     _make_labs(labdir, labs)
     outdir = str(tmp_path / "data")
 
+    # CPU-forced hygiene for the children: overwrite PYTHONPATH (evicts any
+    # TPU-registering sitecustomize) so a future jax import in the data-prep
+    # chain can never initialize a TPU backend from inside the test suite
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO
+
     script = os.path.join(REPO, "egs", "jvs", "tts1", "local", "data_prep.py")
     subprocess.run(
         [sys.executable, script, "--db-root", root, "--outdir", outdir,
          "--labdir", labdir, "--dev-per-spk", "2", "--test-per-spk", "2"],
-        check=True, cwd=REPO,
+        check=True, cwd=REPO, env=env,
     )
     train, _ = read_csv(os.path.join(outdir, "train.csv"), dict_reader=True)
     test, _ = read_csv(os.path.join(outdir, "test.csv"), dict_reader=True)
@@ -75,7 +82,7 @@ def test_jvs_data_prep_with_labdir(tmp_path):
     script2 = os.path.join(REPO, "egs", "jvs", "tts2", "local", "data_prep.py")
     subprocess.run(
         [sys.executable, script2, "--db-root", root, "--outdir", out2],
-        check=True, cwd=REPO,
+        check=True, cwd=REPO, env=env,
     )
     train2, _ = read_csv(os.path.join(out2, "train.csv"), dict_reader=True)
     assert train2 and train2[0]["phonemes"] and "durations" not in train2[0]

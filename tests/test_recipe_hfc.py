@@ -11,12 +11,25 @@ import numpy as np
 
 from jatts_tpu.utils.io import read_csv, read_hdf5, write_audio
 
+
+def _run(main_fn, argv):
+    old = sys.argv
+    sys.argv = argv
+    try:
+        main_fn()
+    finally:
+        sys.argv = old
+
 SR, HOP = 48000, 512
 
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
 def _load_script(path):
+    # REPO-absolute so the test works from any pytest cwd
     spec = importlib.util.spec_from_file_location(
-        os.path.basename(path).replace(".py", "_mod"), path
+        os.path.basename(path).replace(".py", "_mod"), os.path.join(REPO, path)
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
@@ -58,9 +71,8 @@ def test_hfc_tts1_data_prep_with_julius(tmp_path):
     root, labdir, outdir = str(tmp_path / "db"), str(tmp_path / "lab"), str(tmp_path / "data")
     _make_hfc_corpus(root, labdir=labdir)
     mod = _load_script("egs/hificaptain_jp_female/tts1/local/data_prep.py")
-    sys.argv = ["data_prep", "--db-root", root, "--outdir", outdir,
-                "--labdir", labdir, "--hop-size", str(HOP), "--fs", str(SR)]
-    mod.main()
+    _run(mod.main, ["data_prep", "--db-root", root, "--outdir", outdir,
+                    "--labdir", labdir, "--hop-size", str(HOP), "--fs", str(SR)])
 
     rows, _ = read_csv(os.path.join(outdir, "train.csv"), dict_reader=True)
     assert len(rows) == 5  # parallel + non_parallel merged
@@ -84,9 +96,8 @@ def test_hfc_tts1_data_prep_with_julius(tmp_path):
             "feat_list: [\"mel\", \"pitch\", \"energy\"]\nout_feat_type: mel\n"
         )
     dump = str(tmp_path / "dump")
-    sys.argv = ["preprocess", "--csv", os.path.join(outdir, "train.csv"),
-                "--config", conf, "--dumpdir", dump]
-    preprocess_main()
+    _run(preprocess_main, ["preprocess", "--csv", os.path.join(outdir, "train.csv"),
+                           "--config", conf, "--dumpdir", dump])
     rows, _ = read_csv(os.path.join(outdir, "train.csv"), dict_reader=True)
     mel = read_hdf5(os.path.join(dump, rows[0]["sample_id"] + ".h5"), "mel")
     assert mel.shape[0] == sum(int(x) for x in rows[0]["durations"].split())
@@ -96,9 +107,8 @@ def test_hfc_tts2_data_prep_trim_and_prompt(tmp_path):
     root, outdir = str(tmp_path / "db"), str(tmp_path / "data")
     _make_hfc_corpus(root)
     mod = _load_script("egs/hificaptain_jp_female/tts2/local/data_prep.py")
-    sys.argv = ["data_prep", "--db-root", root, "--outdir", outdir,
-                "--sampling-rate", str(SR)]
-    mod.main()
+    _run(mod.main, ["data_prep", "--db-root", root, "--outdir", outdir,
+                    "--sampling-rate", str(SR)])
 
     train, _ = read_csv(os.path.join(outdir, "train.csv"), dict_reader=True)
     test, _ = read_csv(os.path.join(outdir, "test.csv"), dict_reader=True)

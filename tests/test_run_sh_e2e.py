@@ -103,6 +103,11 @@ def test_run_sh_stages_0_to_5(tmp_path):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    # OVERWRITE (do not append!): evicting any sitecustomize dir from
+    # PYTHONPATH is what makes JAX_PLATFORMS=cpu actually effective in the
+    # child stages — a TPU-registering sitecustomize pins its own platform
+    # list at interpreter start and the env var alone then HANGS backend
+    # init (CLAUDE.md quirk; verified)
     env["PYTHONPATH"] = REPO
     proc = subprocess.run(
         ["bash", "run.sh", "--stage", "0", "--stop_stage", "5",

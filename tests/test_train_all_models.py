@@ -10,16 +10,7 @@ from jatts_tpu.train.steps import get_loss_fn
 from jatts_tpu.train.trainer import Trainer
 
 
-class FakeLoader:
-    def __init__(self, batches):
-        self.batches = batches
-        self.sampler = self
-
-    def set_epoch(self, e):
-        pass
-
-    def __iter__(self):
-        return iter(self.batches)
+from test_train_loop import FakeLoader  # single fixture, no divergence
 
 
 BASE_CONFIG = {
