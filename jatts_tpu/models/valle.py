@@ -178,12 +178,15 @@ class VALLEBase(nn.Module):
         levels, e.g. the 8th EnCodec level entering a 7-level NAR embed,
         are dropped like the reference's prev_list slicing)."""
         l = min(codes.shape[-1], weight.shape[0])
-        levels = []
-        for li in range(l):
-            levels.append(jnp.take(weight[li], codes[:, :, li], axis=0))
-        emb = jnp.stack(levels, axis=0)  # [L, B, T, D]
-        active = (jnp.arange(l)[:, None] < n_active[None, :]).astype(emb.dtype)
-        return jnp.einsum("lbtd,lb->btd", emb, active)
+        v = weight.shape[1]
+        # ONE gather from the level-flattened table (offset indices) instead
+        # of L takes + a [L,B,T,D] stack — the stack cost an extra HBM
+        # write+read of the full multi-level embedding per step
+        flat = weight[:l].reshape(l * v, weight.shape[-1])
+        idx = codes[:, :, :l].astype(jnp.int32) + (jnp.arange(l) * v)[None, None, :]
+        emb = jnp.take(flat, idx, axis=0)  # [B, T, L, D]
+        active = (jnp.arange(l)[None, :] < n_active[:, None]).astype(emb.dtype)
+        return jnp.einsum("btld,bl->btd", emb, active)
 
     def trunk(
         self, text, text_lens, proms, prom_lens, resps, resp_lens,
