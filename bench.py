@@ -38,6 +38,36 @@ def _enable_compile_cache():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+def _probe_backend(timeout_s: int = 600):
+    """Fail FAST (clear message, bounded time) when the TPU relay is down.
+
+    Backend init through a dead relay can HANG for many minutes (observed:
+    indefinitely), which would otherwise burn the whole bench budget before
+    the first config even starts. The probe runs a tiny op in a SUBPROCESS
+    (fully exits before we touch the backend — single-client tunnel) under
+    a hard timeout."""
+    import subprocess
+    import sys
+
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp; "
+             "print('PROBE_OK', float(jnp.ones((2, 2)).sum()))"],
+            timeout=timeout_s, capture_output=True, text=True,
+        )
+        if "PROBE_OK" in out.stdout:
+            return
+        msg = (out.stderr or out.stdout).strip().splitlines()
+        raise SystemExit(
+            f"TPU backend probe failed: {msg[-1] if msg else 'no output'}"
+        )
+    except subprocess.TimeoutExpired:
+        raise SystemExit(
+            f"TPU backend probe hung >{timeout_s}s — relay down; not starting"
+        ) from None
+
+
 CONFIGS = [
     ("full-jsut(adim384,4+4L)", dict(idim=64)),
     ("mid(adim256,2+2L)", dict(idim=64, adim=256, elayers=2, dlayers=2,
@@ -303,6 +333,7 @@ def _mas_extra():
 
 
 def main():
+    _probe_backend()
     _enable_compile_cache()
     last_err = None
     for name, kwargs in CONFIGS:
