@@ -10,11 +10,14 @@ stop_stage=5
 conf=conf/e2tts.v1.yaml
 tag=""
 db_root=downloads/hi-fi-captain/ja-JP/female
+fs=48000              # corpus sampling rate (data prep trim/read)
 train_csv=data/train.csv
 dev_csv=data/dev.csv
 test_csv=data/test.csv
 dumpdir=dump
 multihost=false
+vocoder=auto          # auto | griffin_lim (weights-free fallback)
+decode_max_frames=3000
 
 . ../../../utils/parse_options.sh
 
@@ -22,7 +25,7 @@ expdir=exp/$(basename "${conf%.*}")${tag:+_$tag}
 BIN=../../../jatts_tpu/bin
 
 if [ "${stage}" -le 0 ] && [ "${stop_stage}" -ge 0 ]; then
-    python local/data_prep.py --db-root "${db_root}" --outdir data --sampling-rate 48000
+    python local/data_prep.py --db-root "${db_root}" --outdir data --sampling-rate "${fs}"
 fi
 
 if [ "${stage}" -le 1 ] && [ "${stop_stage}" -ge 1 ]; then
@@ -51,7 +54,8 @@ if [ "${stage}" -le 4 ] && [ "${stop_stage}" -ge 4 ]; then
     python ${BIN}/e2tts_decode.py \
         --csv "${test_csv}" --stats "${dumpdir}/stats.h5" \
         --token-list "${dumpdir}/tokens.txt" --expdir "${expdir}" \
-        --config "${expdir}/config.yml" --outdir "${expdir}/results"
+        --config "${expdir}/config.yml" --vocoder "${vocoder}" \
+        --max-frames "${decode_max_frames}" --outdir "${expdir}/results"
 fi
 
 if [ "${stage}" -le 5 ] && [ "${stop_stage}" -ge 5 ]; then

@@ -8,17 +8,29 @@ stop_stage=5
 ar_conf=conf/valle_ar.given.bs32.yaml
 nar_conf=conf/valle_nar.given.bs32.yaml
 tag=""
+db_root=downloads/hi-fi-captain/ja-JP/female
+transcript=""   # "utt:text" lines (stage 0 data prep)
+n_dev=100
+n_test=100
 train_csv=data/train.csv
 dev_csv=data/dev.csv
 test_csv=data/test.csv
 dumpdir=dump
 codec_path=""   # local EnCodec weights dir for transformers.EncodecModel
+decode_max_steps=1000
 
 . ../../../utils/parse_options.sh
 
 ar_exp=exp/$(basename "${ar_conf%.*}")${tag:+_$tag}
 nar_exp=exp/$(basename "${nar_conf%.*}")${tag:+_$tag}
 BIN=../../../jatts_tpu/bin
+
+if [ "${stage}" -le 0 ] && [ "${stop_stage}" -ge 0 ]; then
+    echo "Stage 0: Data preparation (random train-utterance prompts)"
+    python local/data_prep.py --db-root "${db_root}" \
+        --transcript "${transcript}" --outdir data \
+        --n-dev "${n_dev}" --n-test "${n_test}"
+fi
 
 if [ "${stage}" -le 1 ] && [ "${stop_stage}" -ge 1 ]; then
     echo "Stage 1: EnCodec feature extraction"
@@ -57,5 +69,6 @@ if [ "${stage}" -le 5 ] && [ "${stop_stage}" -ge 5 ]; then
         --ar-expdir "${ar_exp}" --ar-config "${ar_exp}/config.yml" \
         --nar-expdir "${nar_exp}" --nar-config "${nar_exp}/config.yml" \
         ${codec_path:+--codec-path "${codec_path}"} \
+        --max-steps "${decode_max_steps}" \
         --outdir "${ar_exp}/results"
 fi

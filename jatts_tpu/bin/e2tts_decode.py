@@ -51,6 +51,11 @@ def main():
     parser.add_argument("--expdir", default=None)
     parser.add_argument("--config", required=True)
     parser.add_argument("--outdir", required=True)
+    parser.add_argument(
+        "--vocoder", default="auto", choices=["auto", "griffin_lim"],
+        help="'auto' = config-selected HiFi-GAN checkpoint when usable; "
+        "'griffin_lim' = weights-free jitted mel inversion",
+    )
     parser.add_argument("--frames-per-phone", type=float, default=12.0)
     parser.add_argument("--max-frames", type=int, default=3000)
     parser.add_argument("--verbose", type=int, default=1)
@@ -86,12 +91,24 @@ def main():
     mel_scale = np.asarray(read_hdf5(args.stats, "mel_scale"))
     conv = TokenIDConverter(args.token_list)
 
-    vocoder = None
     voc_cfg = config.get("vocoder") or {}
-    if voc_cfg.get("checkpoint") and os.path.exists(voc_cfg["checkpoint"]):
+    if args.vocoder != "griffin_lim" and voc_cfg.get("checkpoint") \
+            and os.path.exists(voc_cfg["checkpoint"]):
         from jatts_tpu.vocoder import Vocoder
 
         vocoder = Vocoder(voc_cfg["checkpoint"], voc_cfg["config"], voc_cfg.get("stats"))
+    else:
+        # weights-free fallback, mirroring tts_decode: without it a missing
+        # vocoder checkpoint wrote only *_mel.npy and stage 5 (evaluate on
+        # results/wav) failed on the empty wavdir
+        from jatts_tpu.vocoder import GriffinLimVocoder
+
+        if args.vocoder != "griffin_lim" and voc_cfg.get("checkpoint"):
+            logging.warning(
+                f"vocoder checkpoint {voc_cfg['checkpoint']} not found; "
+                "falling back to Griffin-Lim"
+            )
+        vocoder = GriffinLimVocoder(config)
 
     steps = int(config.get("nfe_step", 32))
     cfg_strength = float(config.get("cfg_strength", 1.0))
