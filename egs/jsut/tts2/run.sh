@@ -8,6 +8,9 @@ stop_stage=5
 conf=conf/matcha_tts.mas.v1.yaml
 tag=""
 db_root=downloads/jsut
+n_dev=250
+n_test=250
+vocoder=auto      # auto | griffin_lim (weights-free fallback)
 train_csv=data/train.csv
 dev_csv=data/dev.csv
 test_csv=data/test.csv
@@ -26,7 +29,8 @@ fi
 
 if [ "${stage}" -le 0 ] && [ "${stop_stage}" -ge 0 ]; then
     echo "Stage 0: Data preparation"
-    python local/data_prep.py --db-root "${db_root}" --outdir data
+    python local/data_prep.py --db-root "${db_root}" --outdir data \
+        --n-dev "${n_dev}" --n-test "${n_test}"
 fi
 
 if [ "${stage}" -le 1 ] && [ "${stop_stage}" -ge 1 ]; then
@@ -59,7 +63,8 @@ if [ "${stage}" -le 4 ] && [ "${stop_stage}" -ge 4 ]; then
     python ${BIN}/tts_decode.py \
         --csv "${test_csv}" --stats "${dumpdir}/stats.h5" \
         --token-list "${dumpdir}/tokens.txt" --expdir "${expdir}" \
-        --config "${expdir}/config.yml" --outdir "${expdir}/results"
+        --config "${expdir}/config.yml" --vocoder "${vocoder}" \
+        --outdir "${expdir}/results"
 fi
 
 if [ "${stage}" -le 5 ] && [ "${stop_stage}" -ge 5 ]; then

@@ -9,6 +9,9 @@ conf=conf/fastspeech2.v1.yaml
 tag=""
 db_root=downloads/jvs_ver1
 labdir=""   # Julius .lab dir (<spk>_<utt>.lab); required for FastSpeech2 durations
+dev_per_spk=3
+test_per_spk=3
+vocoder=auto      # auto | griffin_lim (weights-free fallback)
 train_csv=data/train.csv
 dev_csv=data/dev.csv
 test_csv=data/test.csv
@@ -27,7 +30,9 @@ fi
 
 if [ "${stage}" -le 0 ] && [ "${stop_stage}" -ge 0 ]; then
     echo "Stage 0: Data preparation"
-    python local/data_prep.py --db-root "${db_root}" --outdir data ${labdir:+--labdir "${labdir}"}
+    python local/data_prep.py --db-root "${db_root}" --outdir data \
+        ${labdir:+--labdir "${labdir}"} \
+        --dev-per-spk "${dev_per_spk}" --test-per-spk "${test_per_spk}"
 fi
 
 if [ "${stage}" -le 1 ] && [ "${stop_stage}" -ge 1 ]; then
@@ -60,7 +65,8 @@ if [ "${stage}" -le 4 ] && [ "${stop_stage}" -ge 4 ]; then
     python ${BIN}/tts_decode.py \
         --csv "${test_csv}" --stats "${dumpdir}/stats.h5" \
         --token-list "${dumpdir}/tokens.txt" --expdir "${expdir}" \
-        --config "${expdir}/config.yml" --outdir "${expdir}/results"
+        --config "${expdir}/config.yml" --vocoder "${vocoder}" \
+        --outdir "${expdir}/results"
 fi
 
 if [ "${stage}" -le 5 ] && [ "${stop_stage}" -ge 5 ]; then
