@@ -1,0 +1,136 @@
+"""Export a trained mel model (+ optional HiFi-GAN) as an AOT serving bundle.
+
+TPU-native serving counterpart of stage-4 decoding (reference
+jatts/bin/tts_decode.py runs Python model code per request): serializes the
+jitted text->mel(->wav) inference via jax.export — weights baked in, one
+program per text-length bucket, platform-annotated — into ONE .npz artifact
+that a serving process loads WITHOUT the model's Python code
+(jatts_tpu/serving/export.py).
+
+    python -m jatts_tpu.bin.export_serving \\
+        --config exp/fs2/config.yml --stats dump/stats.h5 \\
+        --token-list dump/tokens.txt --expdir exp/fs2 \\
+        --out exp/fs2/serving.npz --text-buckets 32,64,128
+"""
+
+from __future__ import annotations
+
+import os as _os
+import sys as _sys
+
+# allow direct execution (python jatts_tpu/bin/<tool>.py) from anywhere
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))))
+
+import jax as _jax
+
+if not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.path.expanduser("~/.cache/jatts_tpu/xla"),
+    )
+_jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import argparse
+import logging
+
+import numpy as np
+
+from jatts_tpu.models import get_model
+from jatts_tpu.serving.export import build_infer_fn, export_bundle
+from jatts_tpu.utils.checkpoint import find_latest_checkpoint, restore_checkpoint
+from jatts_tpu.utils.config import load_config
+from jatts_tpu.utils.io import read_hdf5
+
+
+def main():
+    parser = argparse.ArgumentParser(
+        description="Export a trained model as an AOT serving bundle."
+    )
+    parser.add_argument("--config", required=True, help="exp config.yml")
+    parser.add_argument("--stats", required=True)
+    parser.add_argument("--token-list", required=True)
+    parser.add_argument("--checkpoint", default=None)
+    parser.add_argument("--expdir", default=None, help="locate latest checkpoint here")
+    parser.add_argument("--out", required=True, help="output .npz bundle path")
+    parser.add_argument("--batch-size", type=int, default=8)
+    parser.add_argument(
+        "--text-buckets", default="32,64,128",
+        help="comma-separated text-length buckets (one program each)",
+    )
+    parser.add_argument("--max-frames", type=int, default=2048)
+    parser.add_argument(
+        "--platforms", default="tpu,cpu",
+        help="comma-separated jax.export lowering platforms",
+    )
+    parser.add_argument(
+        "--vocoder", default="auto", choices=["auto", "none"],
+        help="'auto' bakes the config-declared HiFi-GAN in (text->wav "
+        "artifact) when its checkpoint exists; 'none' exports mel only",
+    )
+    parser.add_argument("--verbose", type=int, default=1)
+    args = parser.parse_args()
+
+    logging.basicConfig(
+        force=True,
+        level=logging.INFO if args.verbose > 0 else logging.WARNING,
+        format="%(asctime)s (%(module)s:%(lineno)d) %(levelname)s: %(message)s",
+    )
+
+    config = load_config(args.config)
+    with open(args.token_list, encoding="utf-8") as f:
+        n_vocab = len([l for l in f if l.strip()])
+    model_params = dict(config["model_params"])
+    model_params["idim"] = n_vocab
+    model = get_model(config["model_type"])(**model_params)
+
+    ckpt_path = args.checkpoint or find_latest_checkpoint(args.expdir)
+    if ckpt_path is None:
+        raise FileNotFoundError("no checkpoint found")
+    restored = restore_checkpoint(ckpt_path)
+    variables = {"params": restored["params"]}
+    if restored.get("batch_stats"):
+        variables["batch_stats"] = restored["batch_stats"]
+
+    mel_mean = np.asarray(read_hdf5(args.stats, "mel_mean"))
+    mel_scale = np.asarray(read_hdf5(args.stats, "mel_scale"))
+
+    vocoder = None
+    voc_cfg = config.get("vocoder") or {}
+    if args.vocoder == "auto" and voc_cfg.get("checkpoint") \
+            and _os.path.exists(voc_cfg["checkpoint"]):
+        from jatts_tpu.vocoder import Vocoder
+
+        vocoder = Vocoder(
+            voc_cfg["checkpoint"], voc_cfg["config"], voc_cfg.get("stats")
+        )
+
+    spk_dim = int(model_params.get("spk_embed_dim") or 0)
+    fn = build_infer_fn(
+        config, model, variables, mel_mean, mel_scale, args.max_frames,
+        vocoder=vocoder, use_spembs=bool(spk_dim),
+    )
+    meta = {
+        "model_type": config["model_type"],
+        "num_mels": int(config.get("num_mels", 80)),
+        "sampling_rate": int(config.get("sampling_rate", 24000)),
+        "hop_size": int(vocoder.hop_size if vocoder is not None
+                        else config.get("hop_size", 300)),
+        "max_frames": int(args.max_frames),
+        "output": "wav" if vocoder is not None else "mel",
+        "checkpoint": _os.path.basename(str(ckpt_path)),
+    }
+    buckets = [int(t) for t in args.text_buckets.split(",") if t]
+    out = export_bundle(
+        args.out, fn, args.batch_size, buckets, meta, spk_dim=spk_dim,
+        platforms=[p for p in args.platforms.split(",") if p],
+    )
+    size_mb = _os.path.getsize(out) / 2**20
+    logging.info(
+        f"exported {meta['output']} bundle -> {out} "
+        f"({size_mb:.1f} MiB, buckets {buckets}, B={args.batch_size}, "
+        f"platforms {meta.get('platforms', args.platforms)})"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,198 @@
+"""AOT serving export: a compiled, self-contained inference artifact.
+
+The reference serves by running its Python model code per request
+(jatts/bin/tts_decode.py:203-274 loops model.inference per utterance). The
+TPU-native serving story is an ahead-of-time artifact instead: ``jax.export``
+serializes the jitted text->mel(->wav) program — weights baked in as
+constants, shapes fixed per text-length bucket, platform-annotated
+StableHLO — which a serving process deserializes and calls with NO model
+Python code on the path. Compilation happens once at load (and the
+persistent XLA cache carries it across restarts, see bin/tts_decode.py).
+
+Artifact layout (one ``.npz``):
+    __meta__          json (batch size, buckets, output kind, rates, ...)
+    t<bucket>         serialized jax.export bytes per text-length bucket
+
+Inputs of every exported program (all fixed-shape):
+    xs     int32  [B, T_bucket]   token ids, 0-padded
+    ilens  int32  [B]             true text lengths
+    seed   uint32 []              PRNG seed (ODE noise / VITS sampling; the
+                                  program is deterministic given the seed)
+    spembs float32 [B, spk_dim]   only when the model is multi-speaker
+Outputs:
+    mel    float32 [B, T_max, n_mels]  DEnormalized log-mel
+    olens  int32   [B]                 valid output frames
+    wav    float32 [B, T_max*hop]      only when a vocoder is baked in
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Dict, Optional, Sequence
+
+import numpy as np
+
+
+def build_infer_fn(
+    config: Dict[str, Any],
+    model,
+    variables,
+    mel_mean: np.ndarray,
+    mel_scale: np.ndarray,
+    max_frames: int,
+    vocoder=None,
+    use_spembs: bool = False,
+):
+    """Close model + weights + stats (+ optional Vocoder) into one pure
+    ``fn(xs, ilens, seed[, spembs]) -> dict``. Mirrors the per-family
+    inference kwargs of bin/tts_decode.py."""
+    import jax
+    import jax.numpy as jnp
+
+    infer_kwargs = {}
+    model_type = config["model_type"]
+    if model_type.startswith("MatchaTTS"):
+        infer_kwargs = dict(
+            n_timesteps=int(config.get("ode_steps", 10)),
+            temperature=float(config.get("temperature", 0.667)),
+        )
+    elif model_type == "VITS":
+        infer_kwargs = dict(noise_scale=float(config.get("noise_scale", 0.667)))
+
+    mel_mean = jnp.asarray(mel_mean, jnp.float32)
+    mel_scale = jnp.asarray(mel_scale, jnp.float32)
+    voc_vars = voc_mean = voc_scale = voc_model = None
+    if vocoder is not None:
+        voc_model, voc_vars = vocoder.model, vocoder.variables
+        if vocoder.mean is not None:
+            voc_mean = jnp.asarray(vocoder.mean, jnp.float32)
+            voc_scale = jnp.asarray(vocoder.scale, jnp.float32)
+
+    def fn(xs, ilens, seed, spembs=None):
+        rng = jax.random.PRNGKey(seed)
+        out = model.apply(
+            variables, xs, ilens, max_frames, spembs,
+            method=type(model).inference, rngs={"noise": rng}, **infer_kwargs,
+        )
+        mel_n = out["feat_gen"].astype(jnp.float32)
+        mel = mel_n * mel_scale + mel_mean  # denorm by acoustic-model stats
+        res = {"mel": mel, "olens": out["olens"].astype(jnp.int32)}
+        if voc_model is not None:
+            v = mel
+            if voc_mean is not None:
+                v = (v - voc_mean) / voc_scale  # renorm by vocoder stats
+            res["wav"] = voc_model.apply(voc_vars, v)[..., 0]
+        return res
+
+    if use_spembs:
+        return fn
+    return lambda xs, ilens, seed: fn(xs, ilens, seed, None)
+
+
+def export_bundle(
+    out_path: str,
+    fn,
+    batch_size: int,
+    text_buckets: Sequence[int],
+    meta: Dict[str, Any],
+    spk_dim: int = 0,
+    platforms: Sequence[str] = ("tpu", "cpu"),
+) -> str:
+    """Export ``fn`` once per text-length bucket and write the .npz bundle.
+
+    ``platforms`` lowers a single artifact servable on any listed backend
+    (jax.export multi-platform lowering needs no attached device)."""
+    import jax
+    from jax import export as jexport
+
+    entries: Dict[str, np.ndarray] = {}
+    for t in text_buckets:
+        args = [
+            jax.ShapeDtypeStruct((batch_size, int(t)), np.int32),
+            jax.ShapeDtypeStruct((batch_size,), np.int32),
+            jax.ShapeDtypeStruct((), np.uint32),
+        ]
+        if spk_dim:
+            args.append(jax.ShapeDtypeStruct((batch_size, spk_dim), np.float32))
+        exp = jexport.export(jax.jit(fn), platforms=list(platforms))(*args)
+        entries[f"t{int(t)}"] = np.frombuffer(exp.serialize(), np.uint8)
+
+    meta = dict(
+        meta,
+        batch_size=int(batch_size),
+        text_buckets=[int(t) for t in text_buckets],
+        spk_dim=int(spk_dim),
+        platforms=list(platforms),
+    )
+    entries["__meta__"] = np.frombuffer(
+        json.dumps(meta).encode("utf-8"), np.uint8
+    )
+    if not out_path.endswith(".npz"):
+        out_path += ".npz"
+    with open(out_path, "wb") as f:
+        np.savez(f, **entries)
+    return out_path
+
+
+class ServingBundle:
+    """Loaded serving artifact: picks the smallest fitting bucket, pads,
+    executes the deserialized program, crops by olens."""
+
+    def __init__(self, meta: Dict[str, Any], fns: Dict[int, Any]):
+        self.meta = meta
+        self.fns = fns  # bucket -> deserialized Exported
+        self.batch_size = int(meta["batch_size"])
+        self.buckets = sorted(int(t) for t in meta["text_buckets"])
+        self.spk_dim = int(meta.get("spk_dim", 0))
+
+    def synthesize(
+        self,
+        token_ids: Sequence[Sequence[int]],
+        seed: int = 0,
+        spembs: Optional[np.ndarray] = None,
+    ):
+        """token_ids: <= batch_size sequences -> list of per-utterance dicts
+        (mel [T_i, n_mels] cropped to olens; wav [T_i*hop] when present)."""
+        n = len(token_ids)
+        if n > self.batch_size:
+            raise ValueError(f"batch {n} > exported batch {self.batch_size}")
+        longest = max(len(t) for t in token_ids)
+        fit = [b for b in self.buckets if b >= longest]
+        if not fit:
+            raise ValueError(
+                f"text length {longest} exceeds largest bucket {self.buckets[-1]}"
+            )
+        bucket = fit[0]
+        xs = np.zeros((self.batch_size, bucket), np.int32)
+        ilens = np.zeros((self.batch_size,), np.int32)
+        for i, ids in enumerate(token_ids):
+            xs[i, : len(ids)] = np.asarray(ids, np.int32)
+            ilens[i] = len(ids)
+        args = [xs, ilens, np.uint32(seed)]
+        if self.spk_dim:
+            se = np.zeros((self.batch_size, self.spk_dim), np.float32)
+            if spembs is not None:
+                se[: len(spembs)] = np.asarray(spembs, np.float32)
+            args.append(se)
+        out = self.fns[bucket].call(*args)
+        olens = np.asarray(out["olens"])
+        hop = int(self.meta.get("hop_size", 0))
+        results = []
+        for i in range(n):
+            r = {"mel": np.asarray(out["mel"][i][: olens[i]])}
+            if "wav" in out:
+                r["wav"] = np.asarray(out["wav"][i][: olens[i] * hop])
+            results.append(r)
+        return results
+
+
+def load_bundle(path: str) -> ServingBundle:
+    from jax import export as jexport
+
+    z = np.load(path)
+    meta = json.loads(bytes(z["__meta__"]))
+    fns = {
+        int(t): jexport.deserialize(bytes(z[f"t{int(t)}"]))
+        for t in meta["text_buckets"]
+    }
+    return ServingBundle(meta, fns)
