@@ -46,11 +46,20 @@ def main():
     parser = argparse.ArgumentParser(
         description="Export a trained model as an AOT serving bundle."
     )
-    parser.add_argument("--config", required=True, help="exp config.yml")
-    parser.add_argument("--stats", required=True)
+    parser.add_argument("--config", default=None, help="exp config.yml (mel models)")
+    parser.add_argument("--stats", default=None)
     parser.add_argument("--token-list", required=True)
     parser.add_argument("--checkpoint", default=None)
     parser.add_argument("--expdir", default=None, help="locate latest checkpoint here")
+    # VALL-E two-stage export (instead of --config/--stats):
+    parser.add_argument("--ar-config", default=None)
+    parser.add_argument("--ar-checkpoint", default=None)
+    parser.add_argument("--ar-expdir", default=None)
+    parser.add_argument("--nar-config", default=None)
+    parser.add_argument("--nar-checkpoint", default=None)
+    parser.add_argument("--nar-expdir", default=None)
+    parser.add_argument("--max-steps", type=int, default=1000,
+                        help="VALL-E AR response capacity")
     parser.add_argument("--out", required=True, help="output .npz bundle path")
     parser.add_argument("--batch-size", type=int, default=8)
     parser.add_argument(
@@ -76,9 +85,19 @@ def main():
         format="%(asctime)s (%(module)s:%(lineno)d) %(levelname)s: %(message)s",
     )
 
-    config = load_config(args.config)
     with open(args.token_list, encoding="utf-8") as f:
         n_vocab = len([l for l in f if l.strip()])
+    buckets = [int(t) for t in args.text_buckets.split(",") if t]
+    platforms = [p for p in args.platforms.split(",") if p]
+
+    if args.ar_config:
+        _export_valle(args, n_vocab, buckets, platforms)
+        return
+    if not args.config or not args.stats:
+        raise SystemExit("--config and --stats are required (or --ar-config/"
+                         "--nar-config for a VALL-E bundle)")
+
+    config = load_config(args.config)
     model_params = dict(config["model_params"])
     model_params["idim"] = n_vocab
     model = get_model(config["model_type"])(**model_params)
@@ -119,16 +138,71 @@ def main():
         "output": "wav" if vocoder is not None else "mel",
         "checkpoint": _os.path.basename(str(ckpt_path)),
     }
-    buckets = [int(t) for t in args.text_buckets.split(",") if t]
     out = export_bundle(
         args.out, fn, args.batch_size, buckets, meta, spk_dim=spk_dim,
-        platforms=[p for p in args.platforms.split(",") if p],
+        platforms=platforms,
     )
+    _log_written(out, meta, buckets, args)
+
+
+def _export_valle(args, n_vocab, buckets, platforms):
+    """VALL-E bundle: the fused AR+NAR two-stage decode as one program per
+    text bucket (text + prompt codes -> RVQ codes; codec decode external)."""
+    import jax
+    import jax.numpy as jnp
+
+    from jatts_tpu.models.valle import VALLEAR, VALLENAR
+    from jatts_tpu.serving.export import build_valle_fn, export_valle_bundle
+
+    if not args.nar_config:
+        raise SystemExit("--nar-config is required with --ar-config")
+
+    def build(cls, config_path, ckpt, expdir):
+        config = load_config(config_path)
+        mp = dict(config["model_params"])
+        mp["idim"] = n_vocab
+        mp.setdefault("dtype", jnp.bfloat16)
+        model = cls(**mp)
+        restored = restore_checkpoint(ckpt or find_latest_checkpoint(expdir))
+        # bf16-resident params: the KV decode is HBM-bandwidth bound
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == np.float32 else x,
+            restored["params"],
+        )
+        return config, model, {"params": params}
+
+    ar_config, ar_model, ar_vars = build(
+        VALLEAR, args.ar_config, args.ar_checkpoint, args.ar_expdir
+    )
+    _, nar_model, nar_vars = build(
+        VALLENAR, args.nar_config, args.nar_checkpoint, args.nar_expdir
+    )
+    fn = build_valle_fn(
+        ar_model, ar_vars, nar_model, nar_vars, max_steps=args.max_steps,
+        ar_temperature=float(ar_config.get("sampling_temperature", 1.0)),
+        nar_temperature=float(ar_config.get("nar_sampling_temperature", 0.2)),
+    )
+    meta = {
+        "model_type": "VALLE",
+        "sampling_rate": int(ar_config.get("codec_sampling_rate", 24000)),
+        "max_steps": int(args.max_steps),
+    }
+    out = export_valle_bundle(
+        args.out, fn, args.batch_size, buckets,
+        prompt_frames=ar_model.prompt_max_frame_length,
+        n_prom_levels=ar_model.n_prom_levels,
+        meta=meta, platforms=platforms,
+    )
+    _log_written(out, dict(meta, output="codes"), buckets, args)
+
+
+def _log_written(out, meta, buckets, args):
     size_mb = _os.path.getsize(out) / 2**20
     logging.info(
         f"exported {meta['output']} bundle -> {out} "
         f"({size_mb:.1f} MiB, buckets {buckets}, B={args.batch_size}, "
-        f"platforms {meta.get('platforms', args.platforms)})"
+        f"platforms {args.platforms})"
     )
 
 

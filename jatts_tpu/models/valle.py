@@ -389,6 +389,38 @@ def ar_generate(
     return {"codes": toks_all, "resp_lens": first_stop}
 
 
+def nar_generate(
+    model: "VALLENAR",
+    variables,
+    rng,
+    text: jnp.ndarray,
+    text_lens: jnp.ndarray,
+    proms: jnp.ndarray,
+    prom_lens: jnp.ndarray,
+    level0: jnp.ndarray,     # [B, Tr] may carry pad/stop garbage past lens
+    resp_lens: jnp.ndarray,
+    sampling_temperature: float = 0.2,
+) -> jnp.ndarray:
+    """Fixed-capacity NAR fill (jittable wholesale; pairs with ar_generate).
+
+    ``level0`` straight from the AR scan carries the stop token (== n_tokens)
+    at and beyond each row's stop position — out of range for the NAR's
+    n_tokens-entry embedding table, whose flattened gather would silently
+    read out of bounds under jit. Sanitize in-program: zero everything past
+    ``resp_lens`` and clamp into the codebook (positions past the lens are
+    masked out of the packed sequence anyway). This keeps decode/serving on
+    ONE compiled program at fixed capacity instead of per-length recompiles.
+    """
+    tr = level0.shape[1]
+    pos = jnp.arange(tr)[None, :]
+    valid = pos < resp_lens[:, None]
+    level0 = jnp.where(valid, jnp.clip(level0, 0, model.n_tokens - 1), 0)
+    return model.apply(
+        variables, text, text_lens, proms, prom_lens, level0, resp_lens,
+        sampling_temperature, method=VALLENAR.generate, rngs={"noise": rng},
+    )
+
+
 class VALLENAR(VALLEBase):
     causal: bool = False
     use_stop_token: bool = False

@@ -89,6 +89,147 @@ def build_infer_fn(
     return lambda xs, ilens, seed: fn(xs, ilens, seed, None)
 
 
+def build_valle_fn(
+    ar_model, ar_vars, nar_model, nar_vars,
+    max_steps: int,
+    ar_temperature: float = 1.0,
+    nar_temperature: float = 0.2,
+):
+    """Fuse the VALL-E two-stage decode into ONE pure program:
+    ``fn(text, text_lens, proms, prom_lens, seed) -> {codes, resp_lens}``.
+
+    The KV-cached AR scan and all 7 NAR level fills execute as a single
+    compiled graph at fixed capacity (text bucket, prompt capacity,
+    max_steps response) — level0 sanitization included (nar_generate).
+    The neural codec decode (EnCodec, torch) stays outside the artifact."""
+    import jax
+
+    from jatts_tpu.models.valle import ar_generate, nar_generate
+
+    def fn(text, text_lens, proms, prom_lens, seed):
+        rng = jax.random.PRNGKey(seed)
+        r_ar, r_nar = jax.random.split(rng)
+        ar_out = ar_generate(
+            ar_model, ar_vars, r_ar, text, text_lens, proms, prom_lens,
+            max_steps=max_steps, sampling_temperature=ar_temperature,
+        )
+        codes = nar_generate(
+            nar_model, nar_vars, r_nar, text, text_lens, proms, prom_lens,
+            ar_out["codes"], ar_out["resp_lens"],
+            sampling_temperature=nar_temperature,
+        )
+        return {"codes": codes, "resp_lens": ar_out["resp_lens"]}
+
+    return fn
+
+
+def export_valle_bundle(
+    out_path: str,
+    fn,
+    batch_size: int,
+    text_buckets: Sequence[int],
+    prompt_frames: int,
+    n_prom_levels: int,
+    meta: Dict[str, Any],
+    platforms: Sequence[str] = ("tpu", "cpu"),
+) -> str:
+    """Export the fused VALL-E fn once per text-length bucket."""
+    import jax
+    from jax import export as jexport
+
+    entries: Dict[str, np.ndarray] = {}
+    for t in text_buckets:
+        args = [
+            jax.ShapeDtypeStruct((batch_size, int(t)), np.int32),
+            jax.ShapeDtypeStruct((batch_size,), np.int32),
+            jax.ShapeDtypeStruct(
+                (batch_size, prompt_frames, n_prom_levels), np.int32
+            ),
+            jax.ShapeDtypeStruct((batch_size,), np.int32),
+            jax.ShapeDtypeStruct((), np.uint32),
+        ]
+        exp = jexport.export(jax.jit(fn), platforms=list(platforms))(*args)
+        entries[f"t{int(t)}"] = np.frombuffer(exp.serialize(), np.uint8)
+
+    meta = dict(
+        meta,
+        output="codes",
+        batch_size=int(batch_size),
+        text_buckets=[int(t) for t in text_buckets],
+        prompt_frames=int(prompt_frames),
+        n_prom_levels=int(n_prom_levels),
+        platforms=list(platforms),
+    )
+    entries["__meta__"] = np.frombuffer(
+        json.dumps(meta).encode("utf-8"), np.uint8
+    )
+    if not out_path.endswith(".npz"):
+        out_path += ".npz"
+    with open(out_path, "wb") as f:
+        np.savez(f, **entries)
+    return out_path
+
+
+class ValleServingBundle:
+    """Loaded VALL-E artifact: text ids + prompt codes -> RVQ codes [T, L]."""
+
+    def __init__(self, meta: Dict[str, Any], fns: Dict[int, Any]):
+        self.meta = meta
+        self.fns = fns
+        self.batch_size = int(meta["batch_size"])
+        self.buckets = sorted(int(t) for t in meta["text_buckets"])
+        self.prompt_frames = int(meta["prompt_frames"])
+        self.n_prom_levels = int(meta["n_prom_levels"])
+
+    def synthesize(
+        self,
+        token_ids: Sequence[Sequence[int]],
+        prompt_codes: Sequence[np.ndarray],  # per-utt [Tp_i, L]
+        seed: int = 0,
+    ):
+        n = len(token_ids)
+        if n > self.batch_size:
+            raise ValueError(f"batch {n} > exported batch {self.batch_size}")
+        longest = max(len(t) for t in token_ids)
+        fit = [b for b in self.buckets if b >= longest]
+        if not fit:
+            raise ValueError(
+                f"text length {longest} exceeds largest bucket {self.buckets[-1]}"
+            )
+        bucket = fit[0]
+        xs = np.zeros((self.batch_size, bucket), np.int32)
+        ilens = np.zeros((self.batch_size,), np.int32)
+        proms = np.zeros(
+            (self.batch_size, self.prompt_frames, self.n_prom_levels), np.int32
+        )
+        plens = np.zeros((self.batch_size,), np.int32)
+        for i, (ids, pc) in enumerate(zip(token_ids, prompt_codes)):
+            xs[i, : len(ids)] = np.asarray(ids, np.int32)
+            ilens[i] = len(ids)
+            pc = np.asarray(pc, np.int32)[: self.prompt_frames]
+            proms[i, : len(pc)] = pc
+            plens[i] = len(pc)
+        out = self.fns[bucket].call(xs, ilens, proms, plens, np.uint32(seed))
+        lens = np.asarray(out["resp_lens"])
+        return [
+            np.asarray(out["codes"][i][: lens[i]]) for i in range(n)
+        ]
+
+
+def load_bundle(path: str) -> "ServingBundle | ValleServingBundle":
+    from jax import export as jexport
+
+    z = np.load(path)
+    meta = json.loads(bytes(z["__meta__"]))
+    fns = {
+        int(t): jexport.deserialize(bytes(z[f"t{int(t)}"]))
+        for t in meta["text_buckets"]
+    }
+    if meta.get("output") == "codes":
+        return ValleServingBundle(meta, fns)
+    return ServingBundle(meta, fns)
+
+
 def export_bundle(
     out_path: str,
     fn,
@@ -184,15 +325,3 @@ class ServingBundle:
                 r["wav"] = np.asarray(out["wav"][i][: olens[i] * hop])
             results.append(r)
         return results
-
-
-def load_bundle(path: str) -> ServingBundle:
-    from jax import export as jexport
-
-    z = np.load(path)
-    meta = json.loads(bytes(z["__meta__"]))
-    fns = {
-        int(t): jexport.deserialize(bytes(z[f"t{int(t)}"]))
-        for t in meta["text_buckets"]
-    }
-    return ServingBundle(meta, fns)

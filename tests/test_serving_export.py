@@ -193,6 +193,106 @@ def test_matcha_bundle_seed_and_vocoder(tmp_path):
     assert np.abs(a[0]["mel"] - c[0]["mel"]).max() > 1e-6
 
 
+def test_valle_bundle_two_stage(tmp_path):
+    """VALL-E export: fused AR+NAR program round-trips through the CLI and
+    matches the in-process jitted fused fn exactly (same seed, same
+    shapes)."""
+    import jax
+    import jax.numpy as jnp
+
+    from jatts_tpu.bin.export_serving import main as export_main
+    from jatts_tpu.models.valle import VALLEAR, VALLENAR
+    from jatts_tpu.serving import build_valle_fn, load_bundle
+    from jatts_tpu.utils.checkpoint import save_checkpoint
+
+    root = str(tmp_path)
+    tokens = os.path.join(root, "tokens.txt")
+    n_vocab = _write_tokens(tokens)
+    mp = {"n_tokens": 32, "d_model": 16, "n_heads": 2, "n_layers": 2,
+          "n_prom_levels": 8, "n_resp_levels": 7,
+          "prompt_max_frame_length": 12}
+    max_steps = 8
+
+    rng = np.random.default_rng(0)
+    exps = {}
+    for name, cls in (("ar", VALLEAR), ("nar", VALLENAR)):
+        conf = os.path.join(root, f"{name}.yaml")
+        with open(conf, "w") as f:
+            yaml.dump({"model_type": cls.__name__, "model_params": mp}, f)
+        model = cls(**dict(mp, idim=n_vocab))
+        b, tx, tp, tr = 1, 4, 3, 2
+        resps = (np.zeros((b, tr), np.int32) if cls is VALLEAR
+                 else np.zeros((b, tr, 8), np.int32))
+        variables = model.init(
+            {"params": jax.random.key(0), "dropout": jax.random.key(1),
+             "noise": jax.random.key(2)},
+            np.ones((b, tx), np.int32), np.full((b,), tx, np.int32),
+            np.zeros((b, tp, 8), np.int32), np.full((b,), tp, np.int32),
+            resps, np.full((b,), tr, np.int32), deterministic=True,
+        )
+        expdir = os.path.join(root, f"exp_{name}")
+        save_checkpoint(expdir, 1, {
+            "params": jax.device_get(variables["params"]),
+            "batch_stats": {}, "steps": 1, "epochs": 0,
+        })
+        exps[name] = (conf, expdir)
+
+    out = os.path.join(root, "valle_serving.npz")
+    _run(export_main, [
+        "export", "--token-list", tokens,
+        "--ar-config", exps["ar"][0], "--ar-expdir", exps["ar"][1],
+        "--nar-config", exps["nar"][0], "--nar-expdir", exps["nar"][1],
+        "--out", out, "--batch-size", "2", "--text-buckets", "8",
+        "--max-steps", str(max_steps), "--platforms", "cpu",
+    ])
+    bundle = load_bundle(out)
+    assert bundle.prompt_frames == 12 and bundle.n_prom_levels == 8
+
+    ids = [list(rng.integers(2, n_vocab - 1, 5)),
+           list(rng.integers(2, n_vocab - 1, 3))]
+    proms = [rng.integers(0, 32, (6, 8)), rng.integers(0, 32, (4, 8))]
+    res = bundle.synthesize(ids, proms, seed=7)
+    assert len(res) == 2
+    for r in res:
+        assert r.ndim == 2 and r.shape[1] == 8
+        assert (r >= 0).all() and (r <= 32).all()  # level0 may hold stop=32
+
+    # exact agreement with the in-process fused fn (bf16 params like the CLI)
+    def reload(name, cls):
+        from jatts_tpu.utils.checkpoint import (
+            find_latest_checkpoint,
+            restore_checkpoint,
+        )
+
+        model = cls(**dict(mp, idim=n_vocab, dtype=jnp.bfloat16))
+        restored = restore_checkpoint(find_latest_checkpoint(exps[name][1]))
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == np.float32 else x,
+            restored["params"],
+        )
+        return model, {"params": params}
+
+    ar_model, ar_vars = reload("ar", VALLEAR)
+    nar_model, nar_vars = reload("nar", VALLENAR)
+    fn = jax.jit(build_valle_fn(ar_model, ar_vars, nar_model, nar_vars,
+                                max_steps))
+    xs = np.zeros((2, 8), np.int32)
+    ilens = np.array([5, 3], np.int32)
+    for i, t in enumerate(ids):
+        xs[i, : len(t)] = t
+    pr = np.zeros((2, 12, 8), np.int32)
+    plens = np.array([6, 4], np.int32)
+    for i, p in enumerate(proms):
+        pr[i, : len(p)] = p
+    ref = fn(xs, ilens, pr, plens, np.uint32(7))
+    lens = np.asarray(ref["resp_lens"])
+    for i in range(2):
+        np.testing.assert_array_equal(
+            res[i], np.asarray(ref["codes"])[i, : lens[i]]
+        )
+
+
 def test_wav_baked_bundle(tmp_path):
     """Vocoder-baked export: the bundle outputs waveforms (text->wav as ONE
     exported program) with hop-scaled lengths."""
