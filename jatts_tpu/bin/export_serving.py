@@ -106,12 +106,27 @@ def main():
     if ckpt_path is None:
         raise FileNotFoundError("no checkpoint found")
     restored = restore_checkpoint(ckpt_path)
-    variables = {"params": restored["params"]}
+    if config["model_type"] == "E2TTS":
+        # prefer EMA weights, like bin/e2tts_decode.py
+        params = restored.get("ema_params") or restored["params"]
+        variables = {"params": params}
+    else:
+        variables = {"params": restored["params"]}
     if restored.get("batch_stats"):
         variables["batch_stats"] = restored["batch_stats"]
 
     mel_mean = np.asarray(read_hdf5(args.stats, "mel_mean"))
     mel_scale = np.asarray(read_hdf5(args.stats, "mel_scale"))
+
+    if config["model_type"] == "E2TTS":
+        from jatts_tpu.serving.export import build_e2tts_bundle_cli
+
+        out = build_e2tts_bundle_cli(
+            args.out, config, model, variables, mel_mean, mel_scale,
+            args.batch_size, buckets, args.max_frames, platforms,
+        )
+        _log_written(out, {"output": "mel"}, buckets, args)
+        return
 
     vocoder = None
     voc_cfg = config.get("vocoder") or {}

@@ -89,6 +89,158 @@ def build_infer_fn(
     return lambda xs, ilens, seed: fn(xs, ilens, seed, None)
 
 
+def build_e2tts_fn(
+    config: Dict[str, Any],
+    model,
+    variables,
+    mel_mean: np.ndarray,
+    mel_scale: np.ndarray,
+):
+    """E2-TTS prompt-conditioned infill as one pure program:
+    ``fn(cond_raw, text, ref_lens, duration, seed) -> {mel, olens}``.
+
+    ``cond_raw`` is the RAW (denormalized) prompt log-mel, zero-padded to
+    the fixed frame capacity — normalization by the training stats happens
+    in-program, and the output mel is denormalized back, so the artifact is
+    self-contained given a log-mel prompt. ``text`` uses -1 padding (the
+    backbone's filler token), so text buckets pad safely."""
+    import jax
+    import jax.numpy as jnp
+
+    steps = int(config.get("nfe_step", 32))
+    cfg_strength = float(config.get("cfg_strength", 1.0))
+    sway = config.get("sway_sampling_coef")
+    mel_mean = jnp.asarray(mel_mean, jnp.float32)
+    mel_scale = jnp.asarray(mel_scale, jnp.float32)
+
+    def fn(cond_raw, text, ref_lens, duration, seed):
+        rng = jax.random.PRNGKey(seed)
+        cond = (cond_raw.astype(jnp.float32) - mel_mean) / mel_scale
+        out = model.apply(
+            variables, cond, text, ref_lens, duration, steps, cfg_strength,
+            sway, method=type(model).inference, rngs={"noise": rng},
+        )
+        mel = out["feat_gen"].astype(jnp.float32) * mel_scale + mel_mean
+        return {"mel": mel, "olens": out["olens"].astype(jnp.int32)}
+
+    return fn
+
+
+def export_e2tts_bundle(
+    out_path: str,
+    fn,
+    batch_size: int,
+    text_buckets: Sequence[int],
+    max_frames: int,
+    num_mels: int,
+    meta: Dict[str, Any],
+    platforms: Sequence[str] = ("tpu", "cpu"),
+) -> str:
+    import jax
+    from jax import export as jexport
+
+    entries: Dict[str, np.ndarray] = {}
+    for t in text_buckets:
+        args = [
+            jax.ShapeDtypeStruct((batch_size, max_frames, num_mels), np.float32),
+            jax.ShapeDtypeStruct((batch_size, int(t)), np.int32),
+            jax.ShapeDtypeStruct((batch_size,), np.int32),
+            jax.ShapeDtypeStruct((batch_size,), np.int32),
+            jax.ShapeDtypeStruct((), np.uint32),
+        ]
+        exp = jexport.export(jax.jit(fn), platforms=list(platforms))(*args)
+        entries[f"t{int(t)}"] = np.frombuffer(exp.serialize(), np.uint8)
+
+    meta = dict(
+        meta,
+        output="mel",
+        family="E2TTS",
+        batch_size=int(batch_size),
+        text_buckets=[int(t) for t in text_buckets],
+        max_frames=int(max_frames),
+        num_mels=int(num_mels),
+        platforms=list(platforms),
+    )
+    entries["__meta__"] = np.frombuffer(
+        json.dumps(meta).encode("utf-8"), np.uint8
+    )
+    if not out_path.endswith(".npz"):
+        out_path += ".npz"
+    with open(out_path, "wb") as f:
+        np.savez(f, **entries)
+    return out_path
+
+
+class E2ttsServingBundle:
+    """Loaded E2-TTS artifact: raw prompt log-mel + token ids (prompt +
+    separator + target, caller-composed like bin/e2tts_decode.py) ->
+    generated mel slice per utterance."""
+
+    def __init__(self, meta: Dict[str, Any], fns: Dict[int, Any]):
+        self.meta = meta
+        self.fns = fns
+        self.batch_size = int(meta["batch_size"])
+        self.buckets = sorted(int(t) for t in meta["text_buckets"])
+        self.max_frames = int(meta["max_frames"])
+        self.num_mels = int(meta["num_mels"])
+
+    def synthesize(
+        self,
+        token_ids: Sequence[Sequence[int]],
+        prompt_mels: Sequence[np.ndarray],  # raw log-mel [Tp_i, num_mels]
+        gen_frames: Sequence[int],
+        seed: int = 0,
+    ):
+        n = len(token_ids)
+        if n > self.batch_size:
+            raise ValueError(f"batch {n} > exported batch {self.batch_size}")
+        longest = max(len(t) for t in token_ids)
+        fit = [b for b in self.buckets if b >= longest]
+        if not fit:
+            raise ValueError(
+                f"text length {longest} exceeds largest bucket {self.buckets[-1]}"
+            )
+        bucket = fit[0]
+        text = np.full((self.batch_size, bucket), -1, np.int32)
+        cond = np.zeros(
+            (self.batch_size, self.max_frames, self.num_mels), np.float32
+        )
+        ref_lens = np.zeros((self.batch_size,), np.int32)
+        duration = np.ones((self.batch_size,), np.int32)
+        for i, (ids, pm, g) in enumerate(zip(token_ids, prompt_mels, gen_frames)):
+            text[i, : len(ids)] = np.asarray(ids, np.int32)
+            pm = np.asarray(pm, np.float32)
+            # clamp the prompt so generation capacity remains (mirrors
+            # bin/e2tts_decode.py)
+            n_prompt = min(len(pm), max(self.max_frames - int(g), 0))
+            cond[i, :n_prompt] = pm[:n_prompt]
+            ref_lens[i] = n_prompt
+            duration[i] = min(n_prompt + int(g), self.max_frames)
+        out = self.fns[bucket].call(cond, text, ref_lens, duration, np.uint32(seed))
+        mel = np.asarray(out["mel"])
+        return [
+            mel[i, ref_lens[i]: duration[i]] for i in range(n)
+        ]
+
+
+def build_e2tts_bundle_cli(
+    out_path, config, model, variables, mel_mean, mel_scale,
+    batch_size, text_buckets, max_frames, platforms,
+):
+    """CLI glue: build + export the E2-TTS artifact in one call."""
+    fn = build_e2tts_fn(config, model, variables, mel_mean, mel_scale)
+    meta = {
+        "model_type": "E2TTS",
+        "sampling_rate": int(config.get("sampling_rate", 24000)),
+        "hop_size": int(config.get("hop_size", 300)),
+        "nfe_step": int(config.get("nfe_step", 32)),
+    }
+    return export_e2tts_bundle(
+        out_path, fn, batch_size, text_buckets, max_frames,
+        int(config.get("num_mels", 80)), meta, platforms,
+    )
+
+
 def build_valle_fn(
     ar_model, ar_vars, nar_model, nar_vars,
     max_steps: int,
@@ -227,6 +379,8 @@ def load_bundle(path: str) -> "ServingBundle | ValleServingBundle":
     }
     if meta.get("output") == "codes":
         return ValleServingBundle(meta, fns)
+    if meta.get("family") == "E2TTS":
+        return E2ttsServingBundle(meta, fns)
     return ServingBundle(meta, fns)
 
 

@@ -293,6 +293,90 @@ def test_valle_bundle_two_stage(tmp_path):
         )
 
 
+def test_e2tts_bundle_prompt_conditioned(tmp_path):
+    """E2-TTS export: raw-mel prompt in, generated slice out; EMA weights
+    preferred; exact agreement with the in-process jitted fn."""
+    import jax
+
+    from jatts_tpu.bin.export_serving import main as export_main
+    from jatts_tpu.models.e2tts import E2TTS
+    from jatts_tpu.serving import load_bundle
+    from jatts_tpu.serving.export import build_e2tts_fn
+    from jatts_tpu.utils.checkpoint import save_checkpoint
+
+    root = str(tmp_path)
+    num_mels, max_frames = 10, 48
+    config = {
+        "sampling_rate": 24000, "hop_size": 300, "num_mels": num_mels,
+        "model_type": "E2TTS",
+        "model_params": {
+            "odim": num_mels, "backbone": "UNetT", "dim": 32, "depth": 2,
+            "heads": 2, "ff_mult": 2, "pe_attn_head": 1,
+        },
+        "nfe_step": 2, "cfg_strength": 1.0, "sway_sampling_coef": -1.0,
+    }
+    conf = os.path.join(root, "conf.yaml")
+    with open(conf, "w") as f:
+        yaml.dump(config, f)
+    stats = os.path.join(root, "stats.h5")
+    mean, scale = _write_stats(stats, num_mels)
+    tokens = os.path.join(root, "tokens.txt")
+    n_vocab = _write_tokens(tokens)
+
+    model = E2TTS(**dict(config["model_params"], idim=n_vocab))
+    cond0 = np.zeros((1, max_frames, num_mels), np.float32)
+    text0 = np.zeros((1, 6), np.int32)
+    variables = model.init(
+        {"params": jax.random.key(0), "noise": jax.random.key(1)},
+        cond0, text0, np.array([4]), np.array([8]), 2, 1.0, None,
+        method=E2TTS.inference,
+    )
+    # EMA copy distinct from raw params: export must pick EMA
+    ema = jax.tree_util.tree_map(lambda x: x * 0.5, variables["params"])
+    expdir = os.path.join(root, "exp")
+    save_checkpoint(expdir, 1, {
+        "params": jax.device_get(variables["params"]),
+        "ema_params": jax.device_get(ema),
+        "batch_stats": {}, "steps": 1, "epochs": 0,
+    })
+
+    out = os.path.join(root, "serving.npz")
+    _run(export_main, [
+        "export", "--config", conf, "--stats", stats, "--token-list", tokens,
+        "--expdir", expdir, "--out", out, "--batch-size", "2",
+        "--text-buckets", "12", "--max-frames", str(max_frames),
+        "--platforms", "cpu",
+    ])
+    bundle = load_bundle(out)
+    assert bundle.max_frames == max_frames and bundle.num_mels == num_mels
+
+    rng = np.random.default_rng(1)
+    ids = [list(rng.integers(2, n_vocab - 1, 9)),
+           list(rng.integers(2, n_vocab - 1, 5))]
+    prompts = [rng.normal(size=(7, num_mels)).astype(np.float32),
+               rng.normal(size=(5, num_mels)).astype(np.float32)]
+    gen = [12, 9]
+    res = bundle.synthesize(ids, prompts, gen, seed=4)
+    assert [r.shape for r in res] == [(12, num_mels), (9, num_mels)]
+    assert all(np.isfinite(r).all() for r in res)
+
+    # exact agreement with the in-process jit path on EMA weights
+    fn = jax.jit(build_e2tts_fn(config, model, {"params": ema}, mean, scale))
+    cond = np.zeros((2, max_frames, num_mels), np.float32)
+    text = np.full((2, 12), -1, np.int32)
+    ref_lens = np.array([7, 5], np.int32)
+    duration = np.array([19, 14], np.int32)
+    for i, (t, p) in enumerate(zip(ids, prompts)):
+        text[i, : len(t)] = t
+        cond[i, : len(p)] = p
+    ref = fn(cond, text, ref_lens, duration, np.uint32(4))
+    mel_ref = np.asarray(ref["mel"])
+    for i in range(2):
+        np.testing.assert_allclose(
+            res[i], mel_ref[i, ref_lens[i]: duration[i]], atol=1e-5, rtol=1e-5
+        )
+
+
 def test_wav_baked_bundle(tmp_path):
     """Vocoder-baked export: the bundle outputs waveforms (text->wav as ONE
     exported program) with hop-scaled lengths."""
