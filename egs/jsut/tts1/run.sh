@@ -17,6 +17,8 @@ n_jobs=8
 n_dev=250
 n_test=250
 vocoder=auto      # auto | griffin_lim (weights-free fallback)
+serving_buckets=32,64,128   # stage 6 AOT export text-length buckets
+serving_platforms=tpu,cpu
 
 . ../../../utils/parse_options.sh
 
@@ -75,4 +77,13 @@ if [ "${stage}" -le 5 ] && [ "${stop_stage}" -ge 5 ]; then
         --csv "${test_csv}" --wavdir "${expdir}/results/wav" \
         --config "${conf}" --f0-config conf/f0.yaml --n-jobs "${n_jobs}" \
         --out "${expdir}/results/eval.csv"
+fi
+
+if [ "${stage}" -le 6 ] && [ "${stop_stage}" -ge 6 ]; then
+    echo "Stage 6: AOT serving export -> ${expdir}/serving.npz"
+    python ${BIN}/export_serving.py \
+        --config "${expdir}/config.yml" --stats "${dumpdir}/stats.h5" \
+        --token-list "${dumpdir}/tokens.txt" --expdir "${expdir}" \
+        --text-buckets "${serving_buckets}" --platforms "${serving_platforms}" \
+        --out "${expdir}/serving.npz"
 fi

@@ -110,10 +110,11 @@ def test_run_sh_stages_0_to_5(tmp_path):
     # init (CLAUDE.md quirk; verified)
     env["PYTHONPATH"] = REPO
     proc = subprocess.run(
-        ["bash", "run.sh", "--stage", "0", "--stop_stage", "5",
+        ["bash", "run.sh", "--stage", "0", "--stop_stage", "6",
          "--conf", "conf/tiny.yaml", "--db_root", db_root,
          "--labdir", labdir, "--n_dev", "2", "--n_test", "2",
-         "--n_jobs", "2", "--vocoder", "griffin_lim"],
+         "--n_jobs", "2", "--vocoder", "griffin_lim",
+         "--serving_buckets", "16", "--serving_platforms", "cpu"],
         cwd=egs, env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         text=True, timeout=1200,
     )
@@ -130,3 +131,11 @@ def test_run_sh_stages_0_to_5(tmp_path):
             if f.endswith(".wav")]
     assert len(wavs) == 2, wavs
     assert os.path.exists(os.path.join(expdir, "results", "eval.csv"))
+
+    # stage 6: AOT serving bundle loads and synthesizes
+    from jatts_tpu.serving import load_bundle
+
+    bundle = load_bundle(os.path.join(expdir, "serving.npz"))
+    res = bundle.synthesize([[2, 3, 4]], seed=0)
+    assert res[0]["mel"].shape[1] == TINY_CONF["num_mels"]
+    assert np.isfinite(res[0]["mel"]).all()
