@@ -1,0 +1,225 @@
+"""Serving-layer benchmark: throughput + tail latency through the
+micro-batching server over an AOT bundle on one chip.
+
+What it measures (the production serving story the reference lacks —
+its decode is an offline batch loop, jatts/bin/tts_decode.py:203-274):
+
+  1. offered-load throughput: N concurrent per-utterance requests through
+     BatchingServer (requests group into fixed-batch program calls) —
+     utterances/s and the serving RTF at that rate;
+  2. solo latency: sequential single requests, p50/p99 — what one user
+     pays end-to-end (batch window + a padded batch-of-1 program call).
+
+Timing honesty (CLAUDE.md): every program call inside
+``ServingBundle.synthesize`` ends with full host fetches of the outputs
+(np.asarray), so client-side wall clock is a true completion barrier; the
+run primes the exact dispatch path with untimed batches first (fresh-process
+tunnel ramp-up is ~2.3 s/call for the first few dispatches).
+
+Default config mirrors bench.py's flagship: full-JSUT FastSpeech2
+(adim 384, 4+4 conformer layers, bf16) + HiFi-GAN baked in (text->wav
+artifact), B=8, text bucket 128, 1024-frame capacity, random weights
+(speed is weight-independent). ``--tiny`` runs a CPU-sized smoke config.
+
+Usage:
+    python benchmarks/bench_serving.py            # one chip, recipe size
+    JAX_PLATFORMS=cpu python benchmarks/bench_serving.py --tiny
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import threading
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _enable_compile_cache():
+    import jax
+
+    if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.expanduser("~/.cache/jatts_tpu/xla"),
+        )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def _build_bundle(workdir: str, tiny: bool, batch_size: int):
+    import jax
+    import jax.numpy as jnp
+
+    from jatts_tpu.models.fastspeech2 import FastSpeech2
+    from jatts_tpu.serving.export import build_infer_fn, export_bundle, load_bundle
+
+    if tiny:
+        num_mels, max_frames, bucket = 8, 64, 16
+        model = FastSpeech2(
+            idim=16, odim=num_mels, adim=16, aheads=2, elayers=1, eunits=32,
+            dlayers=1, dunits=32, postnet_layers=0,
+            duration_predictor_chans=8, pitch_predictor_chans=8,
+            pitch_predictor_layers=2, energy_predictor_chans=8,
+            conformer_enc_kernel_size=7, conformer_dec_kernel_size=7,
+        )
+        vocoder = None
+    else:
+        num_mels, max_frames, bucket = 80, 1024, 128
+        model = FastSpeech2(idim=64, dtype=jnp.bfloat16)  # full-JSUT size
+        vocoder = _random_vocoder(batch_size, max_frames, num_mels)
+
+    config = {"model_type": "FastSpeech2", "num_mels": num_mels,
+              "sampling_rate": 24000, "hop_size": 300}
+    # jit init as ONE program — eager init through the axon tunnel is
+    # pathological (per-op HTTP round trips, see CLAUDE.md)
+    variables = jax.jit(
+        lambda: model.init(
+            {"params": jax.random.key(0)},
+            np.ones((1, 5), np.int32), np.array([5]), max_frames,
+            method=FastSpeech2.inference,
+        )
+    )()
+    fn = build_infer_fn(
+        config, model, variables, np.zeros(num_mels, np.float32),
+        np.ones(num_mels, np.float32), max_frames, vocoder=vocoder,
+    )
+    meta = {"output": "wav" if vocoder is not None else "mel",
+            "hop_size": 300, "sampling_rate": 24000}
+    path = export_bundle(
+        os.path.join(workdir, "serving.npz"), fn, batch_size, [bucket],
+        meta, platforms=[jax.default_backend()],
+    )
+    return load_bundle(path), bucket
+
+
+def _random_vocoder(batch_size, max_frames, num_mels):
+    """Random-weight HiFi-GAN in the Vocoder duck-type build_infer_fn uses."""
+    import jax
+    import jax.numpy as jnp
+
+    from jatts_tpu.vocoder.hifigan import HiFiGANGenerator
+
+    gen = HiFiGANGenerator()
+    gen_vars = jax.jit(
+        lambda: gen.init(
+            jax.random.key(2), jnp.zeros((1, 8, num_mels), jnp.float32)
+        )
+    )()
+
+    class _V:
+        model = gen
+        variables = gen_vars
+        mean = scale = None
+        hop_size = 300
+
+    return _V()
+
+
+def _texts(n, bucket, rng):
+    # realistic spread: half to full bucket
+    return [list(rng.integers(1, 60, int(rng.integers(bucket // 2, bucket + 1))))
+            for _ in range(n)]
+
+
+def run(tiny: bool = False, batch_size: int = 8, n_load: int = 64,
+        n_solo: int = 20, max_delay_ms: float = 5.0):
+    from jatts_tpu.serving.server import BatchingServer
+
+    rng = np.random.default_rng(0)
+    with tempfile.TemporaryDirectory() as workdir:
+        t0 = time.monotonic()
+        bundle, bucket = _build_bundle(workdir, tiny, batch_size)
+        export_s = time.monotonic() - t0
+
+        # prime: compile (first call) + tunnel ramp-up on the exact path
+        prime = _texts(batch_size, bucket, rng)
+        t0 = time.monotonic()
+        bundle.synthesize(prime, seed=0)
+        compile_s = time.monotonic() - t0
+        for _ in range(3):
+            bundle.synthesize(prime, seed=0)
+
+        out = {"bucket": bucket, "batch_size": batch_size,
+               "export_s": round(export_s, 1), "first_call_s": round(compile_s, 1),
+               "output": bundle.meta.get("output", "mel")}
+
+        # --- offered load: all requests in flight at once -------------------
+        texts = _texts(n_load, bucket, rng)
+        lat = np.zeros(n_load)
+        with BatchingServer(bundle, max_delay_ms=max_delay_ms) as server:
+            start = np.zeros(n_load)
+            barrier = threading.Barrier(n_load + 1)
+
+            def fire(i):
+                barrier.wait()
+                start[i] = time.monotonic()
+                res = server.submit(token_ids=texts[i]).result(timeout=600)
+                lat[i] = time.monotonic() - start[i]
+                _ = res  # host np arrays already fetched by the bundle
+
+            threads = [threading.Thread(target=fire, args=(i,))
+                       for i in range(n_load)]
+            for t in threads:
+                t.start()
+            barrier.wait()
+            t0 = time.monotonic()
+            for t in threads:
+                t.join()
+            wall = time.monotonic() - t0
+            stats = dict(server.stats)
+
+        out.update(
+            load_requests=n_load,
+            load_batches=stats["batches"],
+            load_wall_s=round(wall, 3),
+            throughput_utt_per_s=round(n_load / wall, 2),
+            load_p50_ms=round(float(np.percentile(lat, 50)) * 1e3, 1),
+            load_p99_ms=round(float(np.percentile(lat, 99)) * 1e3, 1),
+        )
+
+        # --- solo latency: one request at a time ----------------------------
+        solo = np.zeros(n_solo)
+        with BatchingServer(bundle, max_delay_ms=max_delay_ms) as server:
+            for i, t in enumerate(_texts(n_solo, bucket, rng)):
+                t0 = time.monotonic()
+                server.submit(token_ids=t).result(timeout=600)
+                solo[i] = time.monotonic() - t0
+        out.update(
+            solo_p50_ms=round(float(np.percentile(solo, 50)) * 1e3, 1),
+            solo_p99_ms=round(float(np.percentile(solo, 99)) * 1e3, 1),
+        )
+
+        # serving RTF at offered load: audio-seconds generated per wall-second
+        if not tiny:
+            # every request synthesizes up to 1024 frames * 300 hop / 24 kHz
+            # = 12.8 s of audio capacity; use the true per-row olens-cropped
+            # length? The bundle crops; approximate with capacity for a
+            # conservative upper bound on RTF (lower audio_s -> higher RTF).
+            audio_s = n_load * (1024 * 300 / 24000)
+            out["serving_rtf_upper_bound"] = round(wall / audio_s, 5)
+        return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tiny", action="store_true", help="CPU smoke config")
+    ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--n-load", type=int, default=64)
+    ap.add_argument("--n-solo", type=int, default=20)
+    ap.add_argument("--max-delay-ms", type=float, default=5.0)
+    args = ap.parse_args()
+    _enable_compile_cache()
+    out = run(tiny=args.tiny, batch_size=args.batch_size,
+              n_load=args.n_load, n_solo=args.n_solo,
+              max_delay_ms=args.max_delay_ms)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
