@@ -23,7 +23,10 @@ artifact), B=8, text bucket 128, 1024-frame capacity, random weights
 
 Usage:
     python benchmarks/bench_serving.py            # one chip, recipe size
-    JAX_PLATFORMS=cpu python benchmarks/bench_serving.py --tiny
+    python benchmarks/bench_serving.py --tiny     # CPU smoke (forces the cpu
+                                                  # backend in-process; the
+                                                  # env var alone is NOT
+                                                  # enough under axon)
 """
 
 from __future__ import annotations
@@ -113,8 +116,6 @@ def _random_vocoder(batch_size, max_frames, num_mels):
 
     from jatts_tpu.vocoder.hifigan import HiFiGANGenerator
 
-    import jax
-
     gen = HiFiGANGenerator()
     gen_vars = jax.jit(
         lambda: gen.init(
@@ -131,9 +132,11 @@ def _random_vocoder(batch_size, max_frames, num_mels):
     return _V()
 
 
-def _texts(n, bucket, rng):
-    # realistic spread: half to full bucket
-    return [list(rng.integers(1, 60, int(rng.integers(bucket // 2, bucket + 1))))
+def _texts(n, bucket, rng, idim):
+    # realistic spread: half to full bucket; ids stay inside the model's
+    # embedding table (XLA clamps OOB gathers, but relying on that is silent)
+    hi = min(60, idim)
+    return [list(rng.integers(1, hi, int(rng.integers(bucket // 2, bucket + 1))))
             for _ in range(n)]
 
 
@@ -143,13 +146,14 @@ def run(tiny: bool = False, batch_size: int = 8, n_load: int = 64,
     from jatts_tpu.serving.server import BatchingServer
 
     rng = np.random.default_rng(0)
+    idim = 16 if tiny else 64
     with tempfile.TemporaryDirectory() as workdir:
         t0 = time.monotonic()
         bundle, bucket = _build_bundle(workdir, tiny, batch_size, with_vocoder)
         export_s = time.monotonic() - t0
 
         # prime: compile (first call) + tunnel ramp-up on the exact path
-        prime = _texts(batch_size, bucket, rng)
+        prime = _texts(batch_size, bucket, rng, idim)
         t0 = time.monotonic()
         bundle.synthesize(prime, seed=0)
         compile_s = time.monotonic() - t0
@@ -161,18 +165,24 @@ def run(tiny: bool = False, batch_size: int = 8, n_load: int = 64,
                "output": bundle.meta.get("output", "mel")}
 
         # --- offered load: all requests in flight at once -------------------
-        texts = _texts(n_load, bucket, rng)
+        texts = _texts(n_load, bucket, rng, idim)
         lat = np.zeros(n_load)
+        mel_frames = np.zeros(n_load, np.int64)
+        errors = []
         with BatchingServer(bundle, max_delay_ms=max_delay_ms) as server:
             start = np.zeros(n_load)
             barrier = threading.Barrier(n_load + 1)
 
             def fire(i):
-                barrier.wait()
-                start[i] = time.monotonic()
-                res = server.submit(token_ids=texts[i]).result(timeout=600)
-                lat[i] = time.monotonic() - start[i]
-                _ = res  # host np arrays already fetched by the bundle
+                try:
+                    barrier.wait()
+                    start[i] = time.monotonic()
+                    res = server.submit(token_ids=texts[i]).result(timeout=600)
+                    lat[i] = time.monotonic() - start[i]
+                    # host np arrays already fetched by the bundle
+                    mel_frames[i] = res["mel"].shape[0]
+                except Exception as e:  # noqa: BLE001 — re-raised after join
+                    errors.append((i, e))
 
             threads = [threading.Thread(target=fire, args=(i,))
                        for i in range(n_load)]
@@ -184,6 +194,11 @@ def run(tiny: bool = False, batch_size: int = 8, n_load: int = 64,
                 t.join()
             wall = time.monotonic() - t0
             stats = dict(server.stats)
+        if errors:
+            # a dead request would silently corrupt percentiles/throughput
+            raise RuntimeError(
+                f"{len(errors)} request(s) failed; first: {errors[0][1]!r}"
+            ) from errors[0][1]
 
         out.update(
             load_requests=n_load,
@@ -197,7 +212,7 @@ def run(tiny: bool = False, batch_size: int = 8, n_load: int = 64,
         # --- solo latency: one request at a time ----------------------------
         solo = np.zeros(n_solo)
         with BatchingServer(bundle, max_delay_ms=max_delay_ms) as server:
-            for i, t in enumerate(_texts(n_solo, bucket, rng)):
+            for i, t in enumerate(_texts(n_solo, bucket, rng, idim)):
                 t0 = time.monotonic()
                 server.submit(token_ids=t).result(timeout=600)
                 solo[i] = time.monotonic() - t0
@@ -206,14 +221,15 @@ def run(tiny: bool = False, batch_size: int = 8, n_load: int = 64,
             solo_p99_ms=round(float(np.percentile(solo, 99)) * 1e3, 1),
         )
 
-        # serving RTF at offered load: audio-seconds generated per wall-second
+        # serving RTF at offered load: wall-seconds per audio-second actually
+        # generated — the TRUE olens-cropped frame counts from the results,
+        # not the 1024-frame capacity (which would understate RTF)
         if not tiny:
-            # every request synthesizes up to 1024 frames * 300 hop / 24 kHz
-            # = 12.8 s of audio capacity; use the true per-row olens-cropped
-            # length? The bundle crops; approximate with capacity for a
-            # conservative upper bound on RTF (lower audio_s -> higher RTF).
-            audio_s = n_load * (1024 * 300 / 24000)
-            out["serving_rtf_upper_bound"] = round(wall / audio_s, 5)
+            sr = int(bundle.meta.get("sampling_rate", 24000))
+            hop = int(bundle.meta.get("hop_size", 300))
+            audio_s = float(mel_frames.sum()) * hop / sr
+            out["audio_s_generated"] = round(audio_s, 1)
+            out["serving_rtf"] = round(wall / audio_s, 5)
         return out
 
 
@@ -227,6 +243,14 @@ def main():
     ap.add_argument("--no-vocoder", action="store_true",
                     help="bench the text->mel artifact (smaller program)")
     args = ap.parse_args()
+    if args.tiny:
+        # force CPU before any backend init: the axon sitecustomize pins
+        # jax_platforms=axon,cpu and the JAX_PLATFORMS env var alone is NOT
+        # enough — without this, a "CPU" smoke can steal the single-client
+        # TPU tunnel from a concurrent run (see CLAUDE.md)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     _enable_compile_cache()
     out = run(tiny=args.tiny, batch_size=args.batch_size,
               n_load=args.n_load, n_solo=args.n_solo,

@@ -36,7 +36,12 @@ def _hz_to_mel_slaney(f):
     min_log_hz = 1000.0
     min_log_mel = min_log_hz / f_sp
     logstep = np.log(6.4) / 27.0
-    return np.where(f >= min_log_hz, min_log_mel + np.log(f / min_log_hz) / logstep, mel)
+    # np.where evaluates both branches: keep the log's argument positive for
+    # f=0 rows (they take the linear branch anyway) to avoid a divide warning
+    f_safe = np.maximum(f, 1e-10)
+    return np.where(
+        f >= min_log_hz, min_log_mel + np.log(f_safe / min_log_hz) / logstep, mel
+    )
 
 
 def _mel_to_hz_slaney(m):
