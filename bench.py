@@ -239,6 +239,131 @@ def _flagship_mfu_extra():
     return out
 
 
+def _mas_train_extra():
+    """MAS-family training (MatchaTTS_MAS, mel-VITS) at recipe sizes — the
+    two models whose train step contains the custom batched Pallas MAS
+    kernel + fully-batched CTC ForwardSum (the reference's numba hot spot,
+    jatts/modules/alignments.py:281-310). Full study:
+    benchmarks/bench_train_mfu.py."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from benchmarks.bench_train_mfu import run_matcha_mas, run_vits
+
+    out = {}
+    try:
+        ms, mfu = run_matcha_mas(quiet=True)
+        out["matcha_mas_train_ms_per_step"] = round(ms, 1)
+        if mfu is not None:
+            out["matcha_mas_train_mfu_vs_197tflops_bf16"] = round(mfu, 4)
+    except Exception as e:  # noqa: BLE001
+        print(f"# matcha_mas train failed: {str(e)[:160]}", flush=True)
+    try:
+        ms, mfu = run_vits(quiet=True)
+        out["vits_train_ms_per_step"] = round(ms, 1)
+        if mfu is not None:
+            out["vits_train_mfu_vs_197tflops_bf16"] = round(mfu, 4)
+    except Exception as e:  # noqa: BLE001
+        print(f"# vits train failed: {str(e)[:160]}", flush=True)
+    return out
+
+
+def _decode_all_extra():
+    """Batched inference RTF for every remaining family (the headline key
+    covers FS2+HiFi-GAN): Matcha 10-step Euler ODE, mel-VITS, E2-TTS NFE-32
+    doubled-batch CFG. Host-fetch barriers, chained dispatch (see
+    benchmarks/bench_decode_all.py)."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from benchmarks.bench_decode_all import bench_e2tts, bench_matcha, bench_vits
+
+    out = {}
+    for key, fn in (
+        ("matcha_ode10_decode_rtf", lambda: bench_matcha(10, quiet=True)),
+        ("vits_decode_rtf", lambda: bench_vits(quiet=True)),
+        ("e2tts_nfe32_cfg_decode_rtf", lambda: bench_e2tts(quiet=True)),
+    ):
+        try:
+            out[key] = round(float(fn()), 6)
+        except Exception as e:  # noqa: BLE001
+            print(f"# {key} failed: {str(e)[:160]}", flush=True)
+    return out
+
+
+def _valle_fused_extra(b=16, max_steps=256, d_model=1024, n_heads=16,
+                       n_layers=12, tx=64, tp=225):
+    """Fused two-stage VALL-E serving decode (KV-cached AR scan + 7 NAR
+    levels as ONE jitted program — what export_serving.py ships) — RTF at
+    EnCodec's 75 codes/s. Same program as serving/export.py build_valle_fn."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from jatts_tpu.models.valle import VALLEAR, VALLENAR
+    from jatts_tpu.serving.export import build_valle_fn
+
+    rng = np.random.default_rng(0)
+    text = jnp.asarray(rng.integers(0, 1024, (b, tx)).astype(np.int32))
+    text_lens = jnp.full((b,), tx, jnp.int32)
+    proms = jnp.asarray(rng.integers(0, 1024, (b, tp, 8)).astype(np.int32))
+    prom_lens = jnp.full((b,), tp, jnp.int32)
+
+    vars_ = {}
+    models = {}
+    for name, cls in (("ar", VALLEAR), ("nar", VALLENAR)):
+        m = cls(idim=0, n_tokens=1024, d_model=d_model, n_heads=n_heads,
+                n_layers=n_layers, dtype=jnp.bfloat16)
+        resps = (
+            jnp.zeros((b, 8), jnp.int32) if name == "ar"
+            else jnp.zeros((b, 8, 8), jnp.int32)
+        )
+        v = m.init(
+            {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+            text, text_lens, proms, prom_lens, resps,
+            jnp.full((b,), 8, jnp.int32), deterministic=True,
+        )
+        vars_[name] = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, v
+        )
+        models[name] = m
+    fn = jax.jit(build_valle_fn(
+        models["ar"], vars_["ar"], models["nar"], vars_["nar"],
+        max_steps=max_steps,
+    ))
+    out = fn(text, text_lens, proms, prom_lens, np.uint32(0))
+    np.asarray(out["codes"])  # compile + barrier
+    np.asarray(fn(text, text_lens, proms, prom_lens, np.uint32(7))["codes"])
+    n = 3
+    t0 = time.perf_counter()
+    for i in range(n):
+        out = fn(text, text_lens, proms, prom_lens, np.uint32(10 + i))
+        np.asarray(out["codes"])  # host fetch = completion barrier
+    dt = (time.perf_counter() - t0) / n
+    audio_s = b * max_steps / 75.0  # EnCodec 24 kHz: 75 code frames/s
+    return {"valle_fused_decode_rtf": round(dt / audio_s, 6)}
+
+
+def _serving_extra():
+    """One summary of the serving layer (BatchingServer over the AOT
+    text->mel FS2 bundle — the smaller exported program; the text->wav
+    artifact numbers live in docs/perf_serving.md). Full study:
+    benchmarks/bench_serving.py."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from benchmarks.bench_serving import run as serving_run
+
+    r = serving_run(tiny=False, with_vocoder=False, n_load=64, n_solo=10)
+    return {
+        "serving_throughput_utt_per_s": r["throughput_utt_per_s"],
+        "serving_p99_ms": r["load_p99_ms"],
+        "serving_solo_p50_ms": r["solo_p50_ms"],
+        "serving_rtf": r["serving_rtf"],
+    }
+
+
 def _valle_extra():
     """VALL-E AR KV-cached scan decode tok/s (the reference re-forwards the
     whole sequence per token — see benchmarks/bench_valle_decode.py).
@@ -344,7 +469,9 @@ def main():
             print(f"# config {name} failed: {str(e)[:160]}", flush=True)
             continue
         extra = {}
-        for fn in (_train_extra, _flagship_mfu_extra, _valle_extra, _mas_extra):
+        for fn in (_train_extra, _flagship_mfu_extra, _mas_train_extra,
+                   _decode_all_extra, _valle_extra, _valle_fused_extra,
+                   _serving_extra, _mas_extra):
             try:
                 extra.update(fn())
             except Exception as e:  # noqa: BLE001 — extras must never kill

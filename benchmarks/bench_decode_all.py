@@ -23,7 +23,7 @@ sys.path.insert(0, ".")
 SR, HOP = 24000, 300
 
 
-def _bench(label, infer, feed, b, t_feats, n=5):
+def _bench(label, infer, feed, b, t_feats, n=5, quiet=False):
     out = infer(feed)
     base = float(out.sum())
     assert np.isfinite(base), f"{label}: non-finite output"
@@ -46,11 +46,12 @@ def _bench(label, infer, feed, b, t_feats, n=5):
     float(acc)
     dt = (time.perf_counter() - t0) / n
     rtf = dt / (b * t_feats * HOP / SR)
-    print(f"{label}: RTF {rtf:.5f} ({b * t_feats / dt / 1e3:.0f}k mel-frames/s)")
+    if not quiet:
+        print(f"{label}: RTF {rtf:.5f} ({b * t_feats / dt / 1e3:.0f}k mel-frames/s)")
     return rtf
 
 
-def bench_matcha(n_timesteps=10):
+def bench_matcha(n_timesteps=10, quiet=False):
     import jax
     import jax.numpy as jnp
 
@@ -77,17 +78,17 @@ def bench_matcha(n_timesteps=10):
         )
         return out["feat_gen"].astype(jnp.float32)
 
-    return _bench(f"matcha ODE-{n_timesteps}", infer, xs, b, t_feats)
+    return _bench(f"matcha ODE-{n_timesteps}", infer, xs, b, t_feats, quiet=quiet)
 
 
-def bench_vits():
+def bench_vits(quiet=False):
     import jax
     import jax.numpy as jnp
 
     from jatts_tpu.models.vits import VITS
 
     b, t_text, t_feats = 8, 128, 1024
-    model = VITS(idim=64)
+    model = VITS(idim=64, dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
     xs = jnp.asarray(rng.integers(1, 64, (b, t_text)).astype(np.int32))
     ilens = jnp.full((b,), t_text, jnp.int32)
@@ -106,7 +107,7 @@ def bench_vits():
         )
         return out["feat_gen"].astype(jnp.float32)
 
-    return _bench("vits", infer, xs, b, t_feats)
+    return _bench("vits", infer, xs, b, t_feats, quiet=quiet)
 
 
 def main():
@@ -127,7 +128,7 @@ def main():
             print(f"# failed: {str(e)[:140]}")
 
 
-def bench_e2tts(steps=32, dim=1024, depth=24, heads=16):
+def bench_e2tts(steps=32, dim=1024, depth=24, heads=16, quiet=False):
     """E2-TTS NFE-32 CFG inference (doubled-batch CFG Euler, bf16 compute,
     XLA attention — the round-3 default; full-size UNetT). May 413 on the
     compile relay — isolated by main()."""
@@ -160,7 +161,7 @@ def bench_e2tts(steps=32, dim=1024, depth=24, heads=16):
         )
         return out["feat_gen"].astype(jnp.float32)
 
-    return _bench(f"e2tts NFE-{steps} ({depth}L/{dim}d)", infer, cond, b, t_max)
+    return _bench(f"e2tts NFE-{steps} ({depth}L/{dim}d)", infer, cond, b, t_max, quiet=quiet)
 
 
 if __name__ == "__main__":

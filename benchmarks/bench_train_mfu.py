@@ -27,7 +27,8 @@ PEAK_FLOPS = {"bf16": 197e12, "f32": 98e12}
 
 
 def _run_trainer_bench(model, loss_fn, kwargs_fn, batch, k, dtype_name,
-                       config_extra=None, quiet=False, n_rep=3, prime=2):
+                       config_extra=None, quiet=False, n_rep=3, prime=2,
+                       criterions=None):
     import jax
 
     from jatts_tpu.train.trainer import Trainer
@@ -40,8 +41,8 @@ def _run_trainer_bench(model, loss_fn, kwargs_fn, batch, k, dtype_name,
         **(config_extra or {}),
     }
     trainer = Trainer(
-        config, model, {}, loss_fn, None, outdir="/tmp/bench_train_mfu",
-        kwargs_fn=kwargs_fn,
+        config, model, criterions or {}, loss_fn, None,
+        outdir="/tmp/bench_train_mfu", kwargs_fn=kwargs_fn,
     )
     trainer.init_state(batch)
     # the Trainer hands loss fns the RAW batch (kwargs_fn is init-only)
@@ -178,9 +179,102 @@ def run_e2tts(b=8, n=1024, k=5, dim=1024, depth=24, heads=16,
     return ms, mfu
 
 
+def run_matcha_mas(b=16, tx=96, tf=512, k=10, quiet=False, **model_kw):
+    """MatchaTTS_MAS at the recipe size (egs/jsut/tts2/conf/
+    matcha_tts.mas.v1.yaml: adim384 conformer 4L enc, [512,512] U-Net CFM
+    decoder, batch 16, steps_per_execution 10). The step contains the
+    system's custom kernel path: batched Pallas MAS viterbi + fully-batched
+    CTC ForwardSum (reference hot spot: jatts/modules/alignments.py:281-310
+    inside trainers/matchatts.py:25-121). Shapes: JSUT ~80 mel frames/s,
+    bucket-padded T_feats=512, ~96 phonemes."""
+    import jax.numpy as jnp
+
+    from jatts_tpu.losses import LOSS_REGISTRY
+    from jatts_tpu.models.matchatts_mas import MatchaTTS_MAS
+    from jatts_tpu.train.steps_matcha import matchatts_kwargs, matchatts_loss
+
+    params = dict(
+        idim=64, odim=80, adim=384, aheads=2, elayers=4, eunits=1536,
+        duration_predictor_chans=256, decoder_channels=(512, 512),
+        decoder_attention_head_dim=256, decoder_num_mid_blocks=2,
+        conformer_enc_kernel_size=7, dtype=jnp.bfloat16,
+    )
+    params.update(model_kw)
+    model = MatchaTTS_MAS(**params)
+    odim, idim = params["odim"], params["idim"]
+    crits = {
+        "EncoderPriorLoss": LOSS_REGISTRY["EncoderPriorLoss"](),
+        "DurationPredictorLoss": LOSS_REGISTRY["DurationPredictorLoss"](),
+        "ForwardSumLoss": LOSS_REGISTRY["ForwardSumLoss"](),
+    }
+    rng = np.random.default_rng(0)
+    batch = {
+        "xs": rng.integers(1, idim, (b, tx)).astype(np.int32),
+        "ilens": np.full((b,), tx, np.int32),
+        "ys": rng.normal(size=(b, tf, odim)).astype(np.float32),
+        "olens": np.full((b,), tf, np.int32),
+    }
+    ms, mfu, flops = _run_trainer_bench(
+        model, matchatts_loss, lambda bt, m=None: matchatts_kwargs(bt, m),
+        batch, k, "bf16", quiet=quiet, criterions=crits,
+        config_extra={"dp_train_start_steps": 10000,
+                      "bin_loss_start_steps": 15000, "lambda_align": 2.0},
+    )
+    if not quiet:
+        print(f"matcha_mas train: {ms:.1f} ms/step, MFU {100 * (mfu or 0):.1f}% "
+              f"({(flops or 0) / 1e9:.0f} GFLOP/step, B={b}, Tf={tf})")
+    return ms, mfu
+
+
+def run_vits(b=8, tx=96, tf=512, k=10, quiet=False, **model_kw):
+    """VITS (mel) at the recipe size (egs/jsut/tts2/conf/vits.v1.bs32.yaml:
+    adim384 conformer 4L dec, posterior encoder + RQ-spline flows, per-chip
+    microbatch 8 x accum 4). Same MAS+CTC alignment path as Matcha-MAS."""
+    import jax.numpy as jnp
+
+    from jatts_tpu.losses import LOSS_REGISTRY
+    from jatts_tpu.models.vits import VITS
+    from jatts_tpu.train.steps_vits import vits_kwargs, vits_loss
+
+    params = dict(
+        idim=64, odim=80, adim=384, aheads=2, dlayers=4, dunits=1536,
+        duration_predictor_chans=256, conformer_dec_kernel_size=31,
+        dtype=jnp.bfloat16,
+    )
+    params.update(model_kw)
+    model = VITS(**params)
+    odim, idim = params["odim"], params["idim"]
+    crits = {
+        "MelLoss": LOSS_REGISTRY["MelLoss"](),
+        "KLDivergenceLoss": LOSS_REGISTRY["KLDivergenceLoss"](),
+        "DurationPredictorLoss": LOSS_REGISTRY["DurationPredictorLoss"](),
+        "ForwardSumLoss": LOSS_REGISTRY["ForwardSumLoss"](),
+    }
+    rng = np.random.default_rng(0)
+    batch = {
+        "xs": rng.integers(1, idim, (b, tx)).astype(np.int32),
+        "ilens": np.full((b,), tx, np.int32),
+        "ys": rng.normal(size=(b, tf, odim)).astype(np.float32),
+        "olens": np.full((b,), tf, np.int32),
+    }
+    ms, mfu, flops = _run_trainer_bench(
+        model, vits_loss, lambda bt, m=None: vits_kwargs(bt, m),
+        batch, k, "bf16", quiet=quiet, criterions=crits,
+        config_extra={"dp_train_start_steps": 10000,
+                      "bin_loss_start_steps": 15000, "lambda_align": 2.0,
+                      "lambda_mel": 10.0},
+    )
+    if not quiet:
+        print(f"vits train: {ms:.1f} ms/step, MFU {100 * (mfu or 0):.1f}% "
+              f"({(flops or 0) / 1e9:.0f} GFLOP/step, B={b}, Tf={tf})")
+    return ms, mfu
+
+
 def main():
     run_valle()
     run_e2tts()
+    run_matcha_mas()
+    run_vits()
 
 
 if __name__ == "__main__":

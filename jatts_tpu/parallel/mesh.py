@@ -171,9 +171,24 @@ def shard_params_tp(params, mesh: Mesh, min_size: int = 2**16):
             return P(*([None] * (x.ndim - 2)), "model", None)
         return P()
 
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, NamedSharding(mesh, spec_for(x))), params
-    )
+    multi = jax.process_count() > 1
+
+    def place(x):
+        sh = NamedSharding(mesh, spec_for(x))
+        if not multi:
+            return jax.device_put(x, sh)
+        # Multi-process: device_put onto a non-addressable sharding is a
+        # cross-host transfer (Gloo connect can time out under compile skew
+        # — same reason replicate_tree avoids it). Every host already holds
+        # the full identical value (same-seed init / same restored
+        # checkpoint), so assemble the global array from per-device slices
+        # locally — no communication.
+        xv = np.asarray(x)
+        return jax.make_array_from_callback(
+            xv.shape, sh, lambda idx, xv=xv: xv[idx]
+        )
+
+    return jax.tree_util.tree_map(place, params)
 
 
 def pad_batch_to_devices(batch: Dict[str, Any], n: int) -> Dict[str, Any]:

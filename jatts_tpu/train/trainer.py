@@ -158,10 +158,33 @@ class Trainer:
         from jatts_tpu.parallel.mesh import replicate_tree, shard_params_tp
 
         if self.mesh.shape.get("model", 1) > 1:
-            # TP sharding uses device_put per leaf; multi-host TP resume is
-            # untested (single-host dp x tp is the supported TP topology)
             return shard_params_tp(state, self.mesh)
         return replicate_tree(state, self.mesh)
+
+    def _host_fetch(self, tree):
+        """``jax.device_get`` that also works for TP-sharded state on a
+        MULTI-HOST mesh: leaves spanning non-addressable devices (and not
+        fully replicated) cannot be fetched directly, so they are first
+        all-gathered to fully-replicated with one jitted identity (GSPMD
+        inserts the cross-host all-gathers). Single-host / replicated trees
+        take the plain device_get path (exercised by
+        tests/test_multihost_tp_resume.py)."""
+
+        def _unfetchable(x):
+            return (
+                hasattr(x, "is_fully_addressable")
+                and not x.is_fully_addressable
+                and not x.is_fully_replicated
+            )
+
+        if self.mesh is None or not any(
+            _unfetchable(x) for x in jax.tree_util.tree_leaves(tree)
+        ):
+            return jax.device_get(tree)
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        rep = NamedSharding(self.mesh, PartitionSpec())
+        return jax.device_get(jax.jit(lambda t: t, out_shardings=rep)(tree))
 
     def _init_variables(self, rng, batch):
         if self.kwargs_fn is not None:
@@ -520,21 +543,22 @@ class Trainer:
         # shutdown barrier). orbax itself writes host-local numpy data on
         # the primary host only — reference-style rank-0 writing falls out.
         assert self.state is not None
-        path = save_checkpoint(
-            self.outdir,
-            self.steps,
+        host = self._host_fetch(
             {
-                "params": jax.device_get(self.state.params),
-                "batch_stats": jax.device_get(self.state.batch_stats),
-                "opt_state": jax.device_get(self.state.opt_state),
-                "steps": self.steps,
-                "epochs": self.epochs,
+                "params": self.state.params,
+                "batch_stats": self.state.batch_stats,
+                "opt_state": self.state.opt_state,
                 **(
-                    {"ema_params": jax.device_get(self.state.ema_params)}
+                    {"ema_params": self.state.ema_params}
                     if self.state.ema_params is not None
                     else {}
                 ),
-            },
+            }
+        )
+        path = save_checkpoint(
+            self.outdir,
+            self.steps,
+            {**host, "steps": self.steps, "epochs": self.epochs},
         )
         logging.info(f"saved checkpoint: {path}")
         return path
@@ -563,9 +587,9 @@ class Trainer:
 
             disk_keys = checkpoint_top_level_keys(path)
             template = {
-                "params": jax.device_get(self.state.params),
-                "batch_stats": jax.device_get(self.state.batch_stats),
-                "opt_state": jax.device_get(self.state.opt_state),
+                "params": self._host_fetch(self.state.params),
+                "batch_stats": self._host_fetch(self.state.batch_stats),
+                "opt_state": self._host_fetch(self.state.opt_state),
                 "steps": 0,
             }
             if disk_keys is None or "epochs" in disk_keys:
@@ -573,13 +597,13 @@ class Trainer:
             if disk_keys is not None and "ema_params" in disk_keys:
                 # params-shaped template works even when EMA is off in the
                 # current config (the weights are simply loaded into ema)
-                template["ema_params"] = jax.device_get(
+                template["ema_params"] = self._host_fetch(
                     self.state.ema_params
                     if self.state.ema_params is not None
                     else self.state.params
                 )
             elif disk_keys is None and self.state.ema_params is not None:
-                template["ema_params"] = jax.device_get(self.state.ema_params)
+                template["ema_params"] = self._host_fetch(self.state.ema_params)
             restored = restore_checkpoint(path, template)
         # adopt checkpoint EMA only if EMA is enabled in the current config
         # (state.ema_params set): a restored-but-unused EMA copy would only

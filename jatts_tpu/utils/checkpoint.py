@@ -83,7 +83,12 @@ def restore_checkpoint(path: str, template: Optional[Dict[str, Any]] = None) -> 
     path = os.path.abspath(path)  # orbax rejects relative paths
     ckptr = _checkpointer()
     if template is not None:
-        return ckptr.restore(path, target=template)
+        if isinstance(ckptr, ocp.StandardCheckpointer):
+            return ckptr.restore(path, target=template)
+        # the multi-process single-member pool is a plain Checkpointer whose
+        # restore(**kwargs) forwards into StandardRestoreArgs — no `target`
+        # sugar there, the template goes through the args API
+        return ckptr.restore(path, args=ocp.args.StandardRestore(template))
     return ckptr.restore(path)
 
 

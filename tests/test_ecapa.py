@@ -194,3 +194,35 @@ def test_eval_spkemb_native(tmp_path):
     write_audio(str(p2), (rng.standard_normal(16100) * 0.1).astype(np.float32), 16000)
     sim = _eval_spkemb([("utt0", str(p1), str(p2), 16000)], 16000, ckpt)
     assert sim is not None and -1.0 <= sim <= 1.0
+
+
+def test_verify_ecapa_cli_golden_roundtrip(tmp_path, capsys, monkeypatch):
+    """bin/verify_ecapa: native embeddings from a (tiny, randomized) local
+    ckpt, golden freeze + re-verify roundtrip, and a FAIL exit when the
+    golden disagrees — the harness that validates the importer against the
+    real voxceleb weights the moment they're supplied locally."""
+    import sys as _sys
+
+    from jatts_tpu.bin.verify_ecapa import main as verify_main
+
+    _, ckpt = _tiny_ckpt(tmp_path)
+    golden = str(tmp_path / "golden.npz")
+
+    def run(argv):
+        monkeypatch.setattr(_sys, "argv", ["verify_ecapa"] + argv)
+        verify_main()
+
+    run(["--ckpt", ckpt, "--write-golden", golden])
+    out = capsys.readouterr().out
+    assert "golden written" in out and "all checks passed" in out
+
+    run(["--ckpt", ckpt, "--golden", golden])
+    out = capsys.readouterr().out
+    assert "golden check" in out and "all checks passed" in out
+
+    # corrupt the golden -> must exit nonzero
+    z = dict(np.load(golden))
+    z["noise"] = z["noise"] + 1.0
+    np.savez(golden, **z)
+    with pytest.raises(SystemExit):
+        run(["--ckpt", ckpt, "--golden", golden])

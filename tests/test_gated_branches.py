@@ -139,3 +139,59 @@ def test_eval_sheet_local_hub(tmp_path):
     _wav(0, n=16000, sr=16000, path=p)
     mos = _eval_sheet([("utt0", str(p), str(p), 16000)], source=str(hub))
     assert mos == 3.5
+
+
+def test_eval_sheet_tiny_model_e2e(tmp_path, capsys):
+    """SHEET MOS with a REAL (tiny) predictor model through the full
+    evaluate.py CLI — model load via torch.hub source='local', wav read,
+    framed inference, score in SHEET's [1, 5] range (reference
+    evaluate.py:251-260). Upgrades the constant-stub coverage the round-3
+    suite had."""
+    import yaml
+
+    from tiny_models import make_tiny_sheet
+
+    hub = make_tiny_sheet(str(tmp_path / "sheet_hub"))
+
+    # direct branch: scores must depend on the audio, not be a constant
+    p1, p2 = tmp_path / "utt0.wav", tmp_path / "utt1.wav"
+    _wav(0, n=16000, sr=16000, path=p1)
+    _wav(1, n=16000, sr=16000, path=p2)
+    from jatts_tpu.bin.evaluate import _eval_sheet
+
+    m1 = _eval_sheet([("utt0", str(p1), str(p1), 16000)], source=hub)
+    m2 = _eval_sheet([("utt1", str(p2), str(p2), 16000)], source=hub)
+    assert m1 is not None and 1.0 <= m1 <= 5.0
+    assert m2 is not None and 1.0 <= m2 <= 5.0
+    assert m1 != m2  # a real model reads the waveform
+
+    # full CLI: --metrics sheet --sheet-source <local hub>
+    from jatts_tpu.bin.evaluate import main as eval_main
+    from jatts_tpu.utils.io import write_csv
+
+    wavdir = tmp_path / "gen"
+    wavdir.mkdir()
+    rows = []
+    for i in range(2):
+        _wav(10 + i, n=16000, sr=16000, path=wavdir / f"utt{i}.wav")
+        ref = tmp_path / f"ref{i}.wav"
+        _wav(20 + i, n=16000, sr=16000, path=ref)
+        rows.append({"sample_id": f"utt{i}", "wav_path": str(ref)})
+    csv_path = str(tmp_path / "test.csv")
+    write_csv(rows, csv_path)
+    conf = str(tmp_path / "conf.yaml")
+    with open(conf, "w") as f:
+        yaml.dump({"sampling_rate": 16000}, f)
+
+    argv, sys.argv = sys.argv, [
+        "evaluate", "--csv", csv_path, "--wavdir", str(wavdir),
+        "--config", conf, "--metrics", "sheet", "--sheet-source", hub,
+    ]
+    try:
+        eval_main()
+    finally:
+        sys.argv = argv
+    out = capsys.readouterr().out
+    assert "SHEET score:" in out
+    score = float(out.split("SHEET score:")[1].split()[0])
+    assert 1.0 <= score <= 5.0

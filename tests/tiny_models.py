@@ -54,3 +54,60 @@ def make_tiny_asr(d: str) -> str:
     Wav2Vec2ForCTC(cfg).eval().save_pretrained(d)
     proc.save_pretrained(d)
     return d
+
+
+def make_tiny_sheet(d: str) -> str:
+    """Miniature SSL-MOS-style predictor as a LOCAL torch.hub directory
+    (reference evaluate.py:251-260 loads unilight/sheet:v0.1.0 via torch.hub
+    and calls ``predictor.predict(wav_path=...)``). The hubconf builds a
+    real (tiny, deterministic) torch model that reads the wav, frames it,
+    and regresses a score squashed into SHEET's [1, 5] MOS range — so the
+    --sheet-source path exercises model load + audio IO + inference, not a
+    constant stub."""
+    hubconf = '''\
+dependencies = ["torch", "numpy", "scipy"]
+
+import numpy as np
+import torch
+
+
+class _TinyMOSNet(torch.nn.Module):
+    """frame -> tanh proj -> mean-pooled linear head -> sigmoid to [1, 5]."""
+
+    FRAME = 64
+
+    def __init__(self):
+        super().__init__()
+        torch.manual_seed(0)
+        self.proj = torch.nn.Linear(self.FRAME, 16)
+        self.head = torch.nn.Linear(16, 1)
+
+    def forward(self, frames):  # [N, FRAME] float
+        h = torch.tanh(self.proj(frames))
+        return 1.0 + 4.0 * torch.sigmoid(self.head(h).mean())
+
+    @torch.no_grad()
+    def predict(self, wav_path=None):
+        from scipy.io import wavfile
+
+        _, wav = wavfile.read(wav_path)
+        wav = np.asarray(wav, np.float32)
+        if wav.ndim > 1:
+            wav = wav[:, 0]
+        peak = float(np.max(np.abs(wav))) or 1.0
+        wav = wav / peak
+        n = (len(wav) // self.FRAME) * self.FRAME
+        frames = (
+            torch.from_numpy(wav[:n].reshape(-1, self.FRAME))
+            if n else torch.zeros(1, self.FRAME)
+        )
+        return float(self.forward(frames))
+
+
+def default(**kwargs):
+    return _TinyMOSNet().eval()
+'''
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "hubconf.py"), "w") as f:
+        f.write(hubconf)
+    return d
