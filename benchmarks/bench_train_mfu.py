@@ -179,7 +179,10 @@ def run_e2tts(b=8, n=1024, k=5, dim=1024, depth=24, heads=16,
     return ms, mfu
 
 
-def run_matcha_mas(b=16, tx=96, tf=512, k=10, quiet=False, **model_kw):
+def run_matcha_mas(b=16, tx=96, tf=512, k=10, quiet=False,
+                   crit_names=("EncoderPriorLoss", "DurationPredictorLoss",
+                               "ForwardSumLoss"),
+                   **model_kw):
     """MatchaTTS_MAS at the recipe size (egs/jsut/tts2/conf/
     matcha_tts.mas.v1.yaml: adim384 conformer 4L enc, [512,512] U-Net CFM
     decoder, batch 16, steps_per_execution 10). The step contains the
@@ -202,11 +205,7 @@ def run_matcha_mas(b=16, tx=96, tf=512, k=10, quiet=False, **model_kw):
     params.update(model_kw)
     model = MatchaTTS_MAS(**params)
     odim, idim = params["odim"], params["idim"]
-    crits = {
-        "EncoderPriorLoss": LOSS_REGISTRY["EncoderPriorLoss"](),
-        "DurationPredictorLoss": LOSS_REGISTRY["DurationPredictorLoss"](),
-        "ForwardSumLoss": LOSS_REGISTRY["ForwardSumLoss"](),
-    }
+    crits = {name: LOSS_REGISTRY[name]() for name in crit_names}
     rng = np.random.default_rng(0)
     batch = {
         "xs": rng.integers(1, idim, (b, tx)).astype(np.int32),

@@ -57,6 +57,7 @@ class E2TTS(nn.Module):
     attn_backend: str = "xla"
     dtype: Any = jnp.float32
     use_remat: bool = False
+    remat_policy: Optional[str] = None  # see UNetT.remat_policy
 
     def setup(self):
         if self.backbone != "UNetT":
@@ -73,6 +74,7 @@ class E2TTS(nn.Module):
             attn_backend=self.attn_backend,
             dtype=self.dtype,
             use_remat=self.use_remat,
+            remat_policy=self.remat_policy,
             name="backbone",
         )
 

@@ -124,6 +124,12 @@ class VALLEBase(nn.Module):
     # activation checkpointing over blocks (reference wraps attention in
     # torch.utils.checkpoint, valle/modules.py:212,233-237)
     use_remat: bool = False
+    # SELECTIVE remat: a jax.checkpoint_policies name (e.g. 'dots_saveable')
+    # — matmul outputs are saved (no MXU recompute in the bwd pass), only
+    # the cheap elementwise/softmax fabric is rematerialized. None = full
+    # remat of the block (the round-2 all-or-nothing that lost 2x vs
+    # batch-16 + accumulation for NAR B=32).
+    remat_policy: Optional[str] = None
     # 'xla' (default): round-3 sweeps (benchmarks/bench_flagship_profile.py)
     # measured XLA materialized attention FASTER than the stock Pallas flash
     # kernel at EVERY S<=4096 on v5e-1 (kernel caps at ~8 TFLOP/s through
@@ -220,11 +226,18 @@ class VALLEBase(nn.Module):
             if s_pad:
                 x = jnp.pad(x, ((0, 0), (0, s_pad), (0, 0)))
         m = sequence_mask(total, x.shape[1], x.dtype)[..., None]
+        remat_kw = {}
+        if self.use_remat and self.remat_policy:
+            import jax
+
+            remat_kw["policy"] = getattr(
+                jax.checkpoint_policies, self.remat_policy
+            )
         for block in self.blocks:
             if self.use_remat:
-                x = nn.remat(type(block).__call__, static_argnums=(4,))(
-                    block, x, m, quant_levels, deterministic
-                )
+                x = nn.remat(
+                    type(block).__call__, static_argnums=(4,), **remat_kw
+                )(block, x, m, quant_levels, deterministic)
             else:
                 x = block(x, m, quant_levels, deterministic=deterministic)
         # f32 logits regardless of compute dtype (loss/sampling stability)

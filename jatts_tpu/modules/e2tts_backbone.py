@@ -177,6 +177,9 @@ class UNetT(nn.Module):
     # ~1/3 recompute FLOPs for O(depth) activation memory; required for the
     # full 8640-frame recipe budget at depth 24 on a 16 GB chip
     use_remat: bool = False
+    # jax.checkpoint_policies name for SELECTIVE remat (e.g. 'dots_saveable'
+    # keeps matmul outputs, recomputes only elementwise); None = full remat
+    remat_policy: str | None = None
 
     @nn.compact
     def __call__(
@@ -272,8 +275,15 @@ class UNetT(nn.Module):
             )
             attn_fn, ff_fn = E2Attention.__call__, E2FeedForward.__call__
             if self.use_remat:
-                attn_fn = nn.remat(attn_fn, static_argnums=(4,))
-                ff_fn = nn.remat(ff_fn, static_argnums=(2,))
+                remat_kw = {}
+                if self.remat_policy:
+                    import jax
+
+                    remat_kw["policy"] = getattr(
+                        jax.checkpoint_policies, self.remat_policy
+                    )
+                attn_fn = nn.remat(attn_fn, static_argnums=(4,), **remat_kw)
+                ff_fn = nn.remat(ff_fn, static_argnums=(2,), **remat_kw)
             h = attn_fn(
                 attn, RMSNorm(name=f"attn_norm_{idx}")(h), freqs, mask,
                 deterministic,

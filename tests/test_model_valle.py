@@ -213,3 +213,45 @@ def test_valle_bf16_compute_dtype():
     gen = ar_generate(m, v, jax.random.key(2), text, text_lens, proms,
                       prom_lens, max_steps=6)
     assert np.asarray(gen["codes"]).shape[1] == 6
+
+
+def test_selective_remat_policy_parity():
+    """`remat_policy` (jax.checkpoint_policies name, e.g. 'dots_saveable')
+    must be loss- AND grad-exact vs the plain and full-remat paths — it only
+    changes what the bwd pass rematerializes."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    b = 2
+    batch = dict(
+        text=jnp.asarray(rng.integers(0, 32, (b, 6)).astype(np.int32)),
+        text_lens=jnp.full((b,), 6, jnp.int32),
+        proms=jnp.asarray(rng.integers(0, 32, (b, 8, 8)).astype(np.int32)),
+        prom_lens=jnp.full((b,), 8, jnp.int32),
+        resps=jnp.asarray(rng.integers(0, 32, (b, 10, 8)).astype(np.int32)),
+        resp_lens=jnp.full((b,), 10, jnp.int32),
+    )
+    rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1),
+            "noise": jax.random.key(2)}
+    results = {}
+    for name, kw in (("plain", {}), ("full", {"use_remat": True}),
+                     ("sel", {"use_remat": True,
+                              "remat_policy": "dots_saveable"})):
+        m = VALLENAR(idim=0, n_tokens=32, d_model=32, n_heads=2, n_layers=2,
+                     **kw)
+        v = m.init(rngs, **batch, deterministic=True)
+
+        def apply(p, m=m):
+            return m.apply({"params": p}, **batch, deterministic=True,
+                           rngs={"noise": jax.random.key(2)})["loss"]
+
+        loss = float(apply(v["params"]))
+        g1 = float(
+            jax.tree_util.tree_reduce(
+                lambda a, x: a + jnp.abs(x).sum(),
+                jax.grad(apply)(v["params"]), 0.0,
+            )
+        )
+        results[name] = (loss, g1)
+    assert results["plain"] == results["full"] == results["sel"], results
