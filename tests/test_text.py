@@ -24,3 +24,31 @@ def test_katakana_converted():
 def test_g2p_fallback_runs():
     phones = g2p_phonemes("こんにちは")
     assert len(phones) > 0
+
+
+def test_g2p_golden_parity():
+    """Verify the pure-python mora table against frozen pyopenjtalk outputs
+    (tests/data/g2p_golden.json, produced by tests/make_g2p_golden.py on a
+    machine with pyopenjtalk). Skips until a golden is committed — the
+    zero-egress image cannot generate one (reference G2P:
+    egs/jsut/tts2/local/data_prep.py:26-90)."""
+    import json
+    import os
+
+    import pytest
+
+    from jatts_tpu.text.japanese import kana_to_phonemes
+
+    path = os.path.join(os.path.dirname(__file__), "data", "g2p_golden.json")
+    if not os.path.exists(path):
+        pytest.skip("no pyopenjtalk golden captured yet (see make_g2p_golden.py)")
+    with open(path, encoding="utf-8") as f:
+        golden = json.load(f)
+    mismatches = {}
+    for text, ref in golden["phonemes"].items():
+        # compare on the segmental content the mora table models (pyopenjtalk
+        # emits 'pau'/'sil' from punctuation too — keep them)
+        ours = kana_to_phonemes(text)
+        if ours != ref:
+            mismatches[text] = (ours, ref)
+    assert not mismatches, mismatches
