@@ -328,17 +328,19 @@ def _valle_fused_extra(b=16, max_steps=256, d_model=1024, n_heads=16,
             lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, v
         )
         models[name] = m
-    fn = jax.jit(build_valle_fn(
+    fused, weights = build_valle_fn(
         models["ar"], vars_["ar"], models["nar"], vars_["nar"],
         max_steps=max_steps,
-    ))
-    out = fn(text, text_lens, proms, prom_lens, np.uint32(0))
+    )
+    weights = jax.device_put(weights)
+    fn = jax.jit(fused)
+    out = fn(weights, text, text_lens, proms, prom_lens, np.uint32(0))
     np.asarray(out["codes"])  # compile + barrier
-    np.asarray(fn(text, text_lens, proms, prom_lens, np.uint32(7))["codes"])
+    np.asarray(fn(weights, text, text_lens, proms, prom_lens, np.uint32(7))["codes"])
     n = 3
     t0 = time.perf_counter()
     for i in range(n):
-        out = fn(text, text_lens, proms, prom_lens, np.uint32(10 + i))
+        out = fn(weights, text, text_lens, proms, prom_lens, np.uint32(10 + i))
         np.asarray(out["codes"])  # host fetch = completion barrier
     dt = (time.perf_counter() - t0) / n
     audio_s = b * max_steps / 75.0  # EnCodec 24 kHz: 75 code frames/s

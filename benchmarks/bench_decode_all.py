@@ -70,15 +70,22 @@ def bench_matcha(n_timesteps=10, quiet=False):
         jnp.full((b,), t_feats, jnp.int32), ds, deterministic=False,
     )
 
+    # variables as ARGUMENTS, not a closure: jit embeds captured arrays as
+    # HLO constants, ballooning the compile payload past the remote relay's
+    # request limit (observed 178 MB stablehlo -> HTTP 413; ~1 MB without)
+    variables = jax.device_put(variables)
+
     @jax.jit
-    def infer(xs):
+    def infer_v(variables, xs):
         out = model.apply(
             variables, xs, ilens, t_feats, method=type(model).inference,
             rngs={"noise": jax.random.key(9)}, n_timesteps=n_timesteps,
         )
         return out["feat_gen"].astype(jnp.float32)
 
-    return _bench(f"matcha ODE-{n_timesteps}", infer, xs, b, t_feats, quiet=quiet)
+    return _bench(f"matcha ODE-{n_timesteps}",
+                  lambda feed: infer_v(variables, feed), xs, b, t_feats,
+                  quiet=quiet)
 
 
 def bench_vits(quiet=False):
@@ -99,15 +106,18 @@ def bench_vits(quiet=False):
         jnp.full((b,), t_feats, jnp.int32), deterministic=False,
     )
 
+    variables = jax.device_put(variables)  # argument, not closure (see above)
+
     @jax.jit
-    def infer(xs):
+    def infer_v(variables, xs):
         out = model.apply(
             variables, xs, ilens, t_feats, method=type(model).inference,
             rngs={"noise": jax.random.key(9)},
         )
         return out["feat_gen"].astype(jnp.float32)
 
-    return _bench("vits", infer, xs, b, t_feats, quiet=quiet)
+    return _bench("vits", lambda feed: infer_v(variables, feed), xs, b,
+                  t_feats, quiet=quiet)
 
 
 def main():
@@ -152,8 +162,10 @@ def bench_e2tts(steps=32, dim=1024, depth=24, heads=16, quiet=False):
         text, feats, jnp.full((b,), 128, jnp.int32), deterministic=False,
     )
 
+    variables = jax.device_put(variables)  # argument, not closure (see above)
+
     @jax.jit
-    def infer(cond):
+    def infer_v(variables, cond):
         out = model.apply(
             variables, cond, text, ref_lens, duration,
             method=type(model).inference, rngs={"noise": jax.random.key(9)},
@@ -161,7 +173,9 @@ def bench_e2tts(steps=32, dim=1024, depth=24, heads=16, quiet=False):
         )
         return out["feat_gen"].astype(jnp.float32)
 
-    return _bench(f"e2tts NFE-{steps} ({depth}L/{dim}d)", infer, cond, b, t_max, quiet=quiet)
+    return _bench(f"e2tts NFE-{steps} ({depth}L/{dim}d)",
+                  lambda feed: infer_v(variables, feed), cond, b, t_max,
+                  quiet=quiet)
 
 
 if __name__ == "__main__":

@@ -36,6 +36,19 @@ VARIANTS = [
         "pitch_predictor_dropout": 0.0, "energy_predictor_dropout": 0.0,
         "postnet_dropout_rate": 0.0,
     }, {"rng_impl": "rbg"}),
+    # locate the dropout cost: which of the three site families carries it
+    ("attn-prob dropout off only", {
+        "transformer_enc_attn_dropout_rate": 0.0,
+        "transformer_dec_attn_dropout_rate": 0.0,
+    }, {"rng_impl": "rbg"}),
+    ("positional dropout off only", {
+        "transformer_enc_positional_dropout_rate": 0.0,
+        "transformer_dec_positional_dropout_rate": 0.0,
+    }, {"rng_impl": "rbg"}),
+    ("residual/FFN dropout off only", {
+        "transformer_enc_dropout_rate": 0.0,
+        "transformer_dec_dropout_rate": 0.0,
+    }, {"rng_impl": "rbg"}),
     ("latest rel-pos, fused flash attn",
      {"conformer_rel_pos_type": "latest", "attn_backend": "flash"},
      {"rng_impl": "rbg"}),

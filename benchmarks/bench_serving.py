@@ -96,7 +96,7 @@ def _build_bundle(workdir: str, tiny: bool, batch_size: int,
             method=FastSpeech2.inference,
         )
     )()
-    fn = build_infer_fn(
+    fn, weights = build_infer_fn(
         config, model, variables, np.zeros(num_mels, np.float32),
         np.ones(num_mels, np.float32), max_frames, vocoder=vocoder,
     )
@@ -104,7 +104,7 @@ def _build_bundle(workdir: str, tiny: bool, batch_size: int,
             "hop_size": 300, "sampling_rate": 24000}
     path = export_bundle(
         os.path.join(workdir, "serving.npz"), fn, batch_size, [bucket],
-        meta, platforms=[jax.default_backend()],
+        meta, platforms=[jax.default_backend()], weights=weights,
     )
     return load_bundle(path), bucket
 

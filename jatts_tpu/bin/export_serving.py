@@ -139,7 +139,7 @@ def main():
         )
 
     spk_dim = int(model_params.get("spk_embed_dim") or 0)
-    fn = build_infer_fn(
+    fn, weights = build_infer_fn(
         config, model, variables, mel_mean, mel_scale, args.max_frames,
         vocoder=vocoder, use_spembs=bool(spk_dim),
     )
@@ -155,7 +155,7 @@ def main():
     }
     out = export_bundle(
         args.out, fn, args.batch_size, buckets, meta, spk_dim=spk_dim,
-        platforms=platforms,
+        platforms=platforms, weights=weights,
     )
     _log_written(out, meta, buckets, args)
 
@@ -193,7 +193,7 @@ def _export_valle(args, n_vocab, buckets, platforms):
     _, nar_model, nar_vars = build(
         VALLENAR, args.nar_config, args.nar_checkpoint, args.nar_expdir
     )
-    fn = build_valle_fn(
+    fn, weights = build_valle_fn(
         ar_model, ar_vars, nar_model, nar_vars, max_steps=args.max_steps,
         ar_temperature=float(ar_config.get("sampling_temperature", 1.0)),
         nar_temperature=float(ar_config.get("nar_sampling_temperature", 0.2)),
@@ -207,7 +207,7 @@ def _export_valle(args, n_vocab, buckets, platforms):
         args.out, fn, args.batch_size, buckets,
         prompt_frames=ar_model.prompt_max_frame_length,
         n_prom_levels=ar_model.n_prom_levels,
-        meta=meta, platforms=platforms,
+        meta=meta, platforms=platforms, weights=weights,
     )
     _log_written(out, dict(meta, output="codes"), buckets, args)
 

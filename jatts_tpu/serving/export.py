@@ -3,17 +3,29 @@
 The reference serves by running its Python model code per request
 (jatts/bin/tts_decode.py:203-274 loops model.inference per utterance). The
 TPU-native serving story is an ahead-of-time artifact instead: ``jax.export``
-serializes the jitted text->mel(->wav) program — weights baked in as
-constants, shapes fixed per text-length bucket, platform-annotated
-StableHLO — which a serving process deserializes and calls with NO model
-Python code on the path. Compilation happens once at load (and the
-persistent XLA cache carries it across restarts, see bin/tts_decode.py).
+serializes the jitted text->mel(->wav) program — shapes fixed per
+text-length bucket, platform-annotated StableHLO — which a serving process
+deserializes and calls with NO model Python code on the path. Compilation
+happens once at load (and the persistent XLA cache carries it across
+restarts, see bin/tts_decode.py).
+
+Weights travel as a RUNTIME ARGUMENT pytree stored once in the artifact —
+NOT baked into the program as constants. Constant-baked weights made the
+StableHLO itself ~100 MB+ per bucket (every bucket duplicating the full
+f32 weight set), which (a) bloated artifacts and (b) exceeded remote-
+compile request limits (HTTP 413 on this environment's relay — root-caused
+round 4). The bundle device_puts the weights once at load and passes them
+to every call. Old constant-baked artifacts still load (weights_as_args
+absent from their meta).
 
 Artifact layout (one ``.npz``):
     __meta__          json (batch size, buckets, output kind, rates, ...)
     t<bucket>         serialized jax.export bytes per text-length bucket
+    w/<path>          weight leaves (flattened pytree; bf16 stored as
+                      uint16 views, dtype map in meta["weight_dtypes"])
 
 Inputs of every exported program (all fixed-shape):
+    weights           the weight pytree (first argument)
     xs     int32  [B, T_bucket]   token ids, 0-padded
     ilens  int32  [B]             true text lengths
     seed   uint32 []              PRNG seed (ODE noise / VITS sampling; the
@@ -33,6 +45,57 @@ from typing import Any, Dict, Optional, Sequence
 import numpy as np
 
 
+def _weights_entries(weights) -> tuple[Dict[str, np.ndarray], Dict[str, str]]:
+    """Flatten a weights pytree into npz-storable ``w/<path>`` arrays.
+
+    bf16 (ml_dtypes) leaves don't survive np.savez dtype round trips —
+    stored as uint16 views with their true dtype recorded in the returned
+    dtype map."""
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(weights, sep="/")
+    entries: Dict[str, np.ndarray] = {}
+    dtypes: Dict[str, str] = {}
+    for k, v in flat.items():
+        arr = np.asarray(v)
+        if arr.dtype.kind == "V" or arr.dtype.name == "bfloat16":
+            dtypes[k] = "bfloat16"
+            arr = arr.view(np.uint16)
+        entries[f"w/{k}"] = arr
+    return entries, dtypes
+
+
+def _weights_from_npz(z, meta) -> Optional[Dict[str, Any]]:
+    if not meta.get("weights_as_args"):
+        return None
+    from flax import traverse_util
+
+    dtypes = meta.get("weight_dtypes", {})
+    flat = {}
+    for key in z.files:
+        if not key.startswith("w/"):
+            continue
+        path = key[2:]
+        arr = z[key]
+        if dtypes.get(path) == "bfloat16":
+            import ml_dtypes
+
+            arr = arr.view(ml_dtypes.bfloat16)
+        flat[path] = arr
+    return traverse_util.unflatten_dict(flat, sep="/")
+
+
+def _weights_struct(weights):
+    import jax
+
+    return jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype)
+        if not hasattr(x, "dtype") or not hasattr(x, "shape")
+        else jax.ShapeDtypeStruct(x.shape, x.dtype),
+        weights,
+    )
+
+
 def build_infer_fn(
     config: Dict[str, Any],
     model,
@@ -43,9 +106,11 @@ def build_infer_fn(
     vocoder=None,
     use_spembs: bool = False,
 ):
-    """Close model + weights + stats (+ optional Vocoder) into one pure
-    ``fn(xs, ilens, seed[, spembs]) -> dict``. Mirrors the per-family
-    inference kwargs of bin/tts_decode.py."""
+    """Bind model + stats (+ optional Vocoder) into one pure
+    ``fn(weights, xs, ilens, seed[, spembs]) -> dict`` plus its weights
+    pytree (passed at call time, NOT closed over — closed-over arrays become
+    HLO constants, see module docstring). Mirrors the per-family inference
+    kwargs of bin/tts_decode.py."""
     import jax
     import jax.numpy as jnp
 
@@ -59,34 +124,39 @@ def build_infer_fn(
     elif model_type == "VITS":
         infer_kwargs = dict(noise_scale=float(config.get("noise_scale", 0.667)))
 
-    mel_mean = jnp.asarray(mel_mean, jnp.float32)
-    mel_scale = jnp.asarray(mel_scale, jnp.float32)
-    voc_vars = voc_mean = voc_scale = voc_model = None
+    weights: Dict[str, Any] = {
+        "model": variables,
+        "mel_mean": jnp.asarray(mel_mean, jnp.float32),
+        "mel_scale": jnp.asarray(mel_scale, jnp.float32),
+    }
+    voc_model = None
     if vocoder is not None:
-        voc_model, voc_vars = vocoder.model, vocoder.variables
+        voc_model = vocoder.model
+        weights["voc"] = vocoder.variables
         if vocoder.mean is not None:
-            voc_mean = jnp.asarray(vocoder.mean, jnp.float32)
-            voc_scale = jnp.asarray(vocoder.scale, jnp.float32)
+            weights["voc_mean"] = jnp.asarray(vocoder.mean, jnp.float32)
+            weights["voc_scale"] = jnp.asarray(vocoder.scale, jnp.float32)
 
-    def fn(xs, ilens, seed, spembs=None):
+    def fn(w, xs, ilens, seed, spembs=None):
         rng = jax.random.PRNGKey(seed)
         out = model.apply(
-            variables, xs, ilens, max_frames, spembs,
+            w["model"], xs, ilens, max_frames, spembs,
             method=type(model).inference, rngs={"noise": rng}, **infer_kwargs,
         )
         mel_n = out["feat_gen"].astype(jnp.float32)
-        mel = mel_n * mel_scale + mel_mean  # denorm by acoustic-model stats
+        # denorm by acoustic-model stats
+        mel = mel_n * w["mel_scale"] + w["mel_mean"]
         res = {"mel": mel, "olens": out["olens"].astype(jnp.int32)}
         if voc_model is not None:
             v = mel
-            if voc_mean is not None:
-                v = (v - voc_mean) / voc_scale  # renorm by vocoder stats
-            res["wav"] = voc_model.apply(voc_vars, v)[..., 0]
+            if "voc_mean" in w:
+                v = (v - w["voc_mean"]) / w["voc_scale"]  # vocoder stats
+            res["wav"] = voc_model.apply(w["voc"], v)[..., 0]
         return res
 
     if use_spembs:
-        return fn
-    return lambda xs, ilens, seed: fn(xs, ilens, seed, None)
+        return fn, weights
+    return (lambda w, xs, ilens, seed: fn(w, xs, ilens, seed, None)), weights
 
 
 def build_e2tts_fn(
@@ -103,27 +173,33 @@ def build_e2tts_fn(
     the fixed frame capacity — normalization by the training stats happens
     in-program, and the output mel is denormalized back, so the artifact is
     self-contained given a log-mel prompt. ``text`` uses -1 padding (the
-    backbone's filler token), so text buckets pad safely."""
+    backbone's filler token), so text buckets pad safely.
+
+    Returns ``(fn(weights, cond_raw, text, ref_lens, duration, seed),
+    weights)`` — weights are call-time inputs, not baked constants."""
     import jax
     import jax.numpy as jnp
 
     steps = int(config.get("nfe_step", 32))
     cfg_strength = float(config.get("cfg_strength", 1.0))
     sway = config.get("sway_sampling_coef")
-    mel_mean = jnp.asarray(mel_mean, jnp.float32)
-    mel_scale = jnp.asarray(mel_scale, jnp.float32)
+    weights = {
+        "model": variables,
+        "mel_mean": jnp.asarray(mel_mean, jnp.float32),
+        "mel_scale": jnp.asarray(mel_scale, jnp.float32),
+    }
 
-    def fn(cond_raw, text, ref_lens, duration, seed):
+    def fn(w, cond_raw, text, ref_lens, duration, seed):
         rng = jax.random.PRNGKey(seed)
-        cond = (cond_raw.astype(jnp.float32) - mel_mean) / mel_scale
+        cond = (cond_raw.astype(jnp.float32) - w["mel_mean"]) / w["mel_scale"]
         out = model.apply(
-            variables, cond, text, ref_lens, duration, steps, cfg_strength,
+            w["model"], cond, text, ref_lens, duration, steps, cfg_strength,
             sway, method=type(model).inference, rngs={"noise": rng},
         )
-        mel = out["feat_gen"].astype(jnp.float32) * mel_scale + mel_mean
+        mel = out["feat_gen"].astype(jnp.float32) * w["mel_scale"] + w["mel_mean"]
         return {"mel": mel, "olens": out["olens"].astype(jnp.int32)}
 
-    return fn
+    return fn, weights
 
 
 def export_e2tts_bundle(
@@ -135,11 +211,16 @@ def export_e2tts_bundle(
     num_mels: int,
     meta: Dict[str, Any],
     platforms: Sequence[str] = ("tpu", "cpu"),
+    weights=None,
 ) -> str:
     import jax
     from jax import export as jexport
 
     entries: Dict[str, np.ndarray] = {}
+    w_dtypes: Dict[str, str] = {}
+    if weights is not None:
+        w_entries, w_dtypes = _weights_entries(weights)
+        entries.update(w_entries)
     for t in text_buckets:
         args = [
             jax.ShapeDtypeStruct((batch_size, max_frames, num_mels), np.float32),
@@ -148,6 +229,8 @@ def export_e2tts_bundle(
             jax.ShapeDtypeStruct((batch_size,), np.int32),
             jax.ShapeDtypeStruct((), np.uint32),
         ]
+        if weights is not None:
+            args = [_weights_struct(weights)] + args
         exp = jexport.export(jax.jit(fn), platforms=list(platforms))(*args)
         entries[f"t{int(t)}"] = np.frombuffer(exp.serialize(), np.uint8)
 
@@ -160,6 +243,8 @@ def export_e2tts_bundle(
         max_frames=int(max_frames),
         num_mels=int(num_mels),
         platforms=list(platforms),
+        weights_as_args=weights is not None,
+        weight_dtypes=w_dtypes,
     )
     entries["__meta__"] = np.frombuffer(
         json.dumps(meta).encode("utf-8"), np.uint8
@@ -176,13 +261,14 @@ class E2ttsServingBundle:
     separator + target, caller-composed like bin/e2tts_decode.py) ->
     generated mel slice per utterance."""
 
-    def __init__(self, meta: Dict[str, Any], fns: Dict[int, Any]):
+    def __init__(self, meta: Dict[str, Any], fns: Dict[int, Any], weights=None):
         self.meta = meta
         self.fns = fns
         self.batch_size = int(meta["batch_size"])
         self.buckets = sorted(int(t) for t in meta["text_buckets"])
         self.max_frames = int(meta["max_frames"])
         self.num_mels = int(meta["num_mels"])
+        self.weights = _device_weights(weights)
 
     def synthesize(
         self,
@@ -216,7 +302,10 @@ class E2ttsServingBundle:
             cond[i, :n_prompt] = pm[:n_prompt]
             ref_lens[i] = n_prompt
             duration[i] = min(n_prompt + int(g), self.max_frames)
-        out = self.fns[bucket].call(cond, text, ref_lens, duration, np.uint32(seed))
+        args = [cond, text, ref_lens, duration, np.uint32(seed)]
+        if self.weights is not None:
+            args = [self.weights] + args
+        out = self.fns[bucket].call(*args)
         mel = np.asarray(out["mel"])
         return [
             mel[i, ref_lens[i]: duration[i]] for i in range(n)
@@ -228,7 +317,7 @@ def build_e2tts_bundle_cli(
     batch_size, text_buckets, max_frames, platforms,
 ):
     """CLI glue: build + export the E2-TTS artifact in one call."""
-    fn = build_e2tts_fn(config, model, variables, mel_mean, mel_scale)
+    fn, weights = build_e2tts_fn(config, model, variables, mel_mean, mel_scale)
     meta = {
         "model_type": "E2TTS",
         "sampling_rate": int(config.get("sampling_rate", 24000)),
@@ -237,7 +326,7 @@ def build_e2tts_bundle_cli(
     }
     return export_e2tts_bundle(
         out_path, fn, batch_size, text_buckets, max_frames,
-        int(config.get("num_mels", 80)), meta, platforms,
+        int(config.get("num_mels", 80)), meta, platforms, weights=weights,
     )
 
 
@@ -248,7 +337,9 @@ def build_valle_fn(
     nar_temperature: float = 0.2,
 ):
     """Fuse the VALL-E two-stage decode into ONE pure program:
-    ``fn(text, text_lens, proms, prom_lens, seed) -> {codes, resp_lens}``.
+    ``fn(weights, text, text_lens, proms, prom_lens, seed) ->
+    {codes, resp_lens}`` plus its ``weights = {"ar":..., "nar":...}``
+    pytree (call-time inputs, not baked constants).
 
     The KV-cached AR scan and all 7 NAR level fills execute as a single
     compiled graph at fixed capacity (text bucket, prompt capacity,
@@ -258,21 +349,23 @@ def build_valle_fn(
 
     from jatts_tpu.models.valle import ar_generate, nar_generate
 
-    def fn(text, text_lens, proms, prom_lens, seed):
+    weights = {"ar": ar_vars, "nar": nar_vars}
+
+    def fn(w, text, text_lens, proms, prom_lens, seed):
         rng = jax.random.PRNGKey(seed)
         r_ar, r_nar = jax.random.split(rng)
         ar_out = ar_generate(
-            ar_model, ar_vars, r_ar, text, text_lens, proms, prom_lens,
+            ar_model, w["ar"], r_ar, text, text_lens, proms, prom_lens,
             max_steps=max_steps, sampling_temperature=ar_temperature,
         )
         codes = nar_generate(
-            nar_model, nar_vars, r_nar, text, text_lens, proms, prom_lens,
+            nar_model, w["nar"], r_nar, text, text_lens, proms, prom_lens,
             ar_out["codes"], ar_out["resp_lens"],
             sampling_temperature=nar_temperature,
         )
         return {"codes": codes, "resp_lens": ar_out["resp_lens"]}
 
-    return fn
+    return fn, weights
 
 
 def export_valle_bundle(
@@ -284,12 +377,17 @@ def export_valle_bundle(
     n_prom_levels: int,
     meta: Dict[str, Any],
     platforms: Sequence[str] = ("tpu", "cpu"),
+    weights=None,
 ) -> str:
     """Export the fused VALL-E fn once per text-length bucket."""
     import jax
     from jax import export as jexport
 
     entries: Dict[str, np.ndarray] = {}
+    w_dtypes: Dict[str, str] = {}
+    if weights is not None:
+        w_entries, w_dtypes = _weights_entries(weights)
+        entries.update(w_entries)
     for t in text_buckets:
         args = [
             jax.ShapeDtypeStruct((batch_size, int(t)), np.int32),
@@ -300,6 +398,8 @@ def export_valle_bundle(
             jax.ShapeDtypeStruct((batch_size,), np.int32),
             jax.ShapeDtypeStruct((), np.uint32),
         ]
+        if weights is not None:
+            args = [_weights_struct(weights)] + args
         exp = jexport.export(jax.jit(fn), platforms=list(platforms))(*args)
         entries[f"t{int(t)}"] = np.frombuffer(exp.serialize(), np.uint8)
 
@@ -311,6 +411,8 @@ def export_valle_bundle(
         prompt_frames=int(prompt_frames),
         n_prom_levels=int(n_prom_levels),
         platforms=list(platforms),
+        weights_as_args=weights is not None,
+        weight_dtypes=w_dtypes,
     )
     entries["__meta__"] = np.frombuffer(
         json.dumps(meta).encode("utf-8"), np.uint8
@@ -325,13 +427,14 @@ def export_valle_bundle(
 class ValleServingBundle:
     """Loaded VALL-E artifact: text ids + prompt codes -> RVQ codes [T, L]."""
 
-    def __init__(self, meta: Dict[str, Any], fns: Dict[int, Any]):
+    def __init__(self, meta: Dict[str, Any], fns: Dict[int, Any], weights=None):
         self.meta = meta
         self.fns = fns
         self.batch_size = int(meta["batch_size"])
         self.buckets = sorted(int(t) for t in meta["text_buckets"])
         self.prompt_frames = int(meta["prompt_frames"])
         self.n_prom_levels = int(meta["n_prom_levels"])
+        self.weights = _device_weights(weights)
 
     def synthesize(
         self,
@@ -361,11 +464,24 @@ class ValleServingBundle:
             pc = np.asarray(pc, np.int32)[: self.prompt_frames]
             proms[i, : len(pc)] = pc
             plens[i] = len(pc)
-        out = self.fns[bucket].call(xs, ilens, proms, plens, np.uint32(seed))
+        args = [xs, ilens, proms, plens, np.uint32(seed)]
+        if self.weights is not None:
+            args = [self.weights] + args
+        out = self.fns[bucket].call(*args)
         lens = np.asarray(out["resp_lens"])
         return [
             np.asarray(out["codes"][i][: lens[i]]) for i in range(n)
         ]
+
+
+def _device_weights(weights):
+    """Device-put the weights pytree once at bundle load: .call with host
+    numpy weights would re-upload the full weight set on EVERY request."""
+    if weights is None:
+        return None
+    import jax
+
+    return jax.device_put(weights)
 
 
 def load_bundle(path: str) -> "ServingBundle | ValleServingBundle":
@@ -377,11 +493,12 @@ def load_bundle(path: str) -> "ServingBundle | ValleServingBundle":
         int(t): jexport.deserialize(bytes(z[f"t{int(t)}"]))
         for t in meta["text_buckets"]
     }
+    weights = _weights_from_npz(z, meta)
     if meta.get("output") == "codes":
-        return ValleServingBundle(meta, fns)
+        return ValleServingBundle(meta, fns, weights)
     if meta.get("family") == "E2TTS":
-        return E2ttsServingBundle(meta, fns)
-    return ServingBundle(meta, fns)
+        return E2ttsServingBundle(meta, fns, weights)
+    return ServingBundle(meta, fns, weights)
 
 
 def export_bundle(
@@ -392,15 +509,22 @@ def export_bundle(
     meta: Dict[str, Any],
     spk_dim: int = 0,
     platforms: Sequence[str] = ("tpu", "cpu"),
+    weights=None,
 ) -> str:
     """Export ``fn`` once per text-length bucket and write the .npz bundle.
 
     ``platforms`` lowers a single artifact servable on any listed backend
-    (jax.export multi-platform lowering needs no attached device)."""
+    (jax.export multi-platform lowering needs no attached device).
+    ``weights``: the pytree returned by build_infer_fn — stored ONCE in the
+    artifact and passed as the program's first argument."""
     import jax
     from jax import export as jexport
 
     entries: Dict[str, np.ndarray] = {}
+    w_dtypes: Dict[str, str] = {}
+    if weights is not None:
+        w_entries, w_dtypes = _weights_entries(weights)
+        entries.update(w_entries)
     for t in text_buckets:
         args = [
             jax.ShapeDtypeStruct((batch_size, int(t)), np.int32),
@@ -409,6 +533,8 @@ def export_bundle(
         ]
         if spk_dim:
             args.append(jax.ShapeDtypeStruct((batch_size, spk_dim), np.float32))
+        if weights is not None:
+            args = [_weights_struct(weights)] + args
         exp = jexport.export(jax.jit(fn), platforms=list(platforms))(*args)
         entries[f"t{int(t)}"] = np.frombuffer(exp.serialize(), np.uint8)
 
@@ -418,6 +544,8 @@ def export_bundle(
         text_buckets=[int(t) for t in text_buckets],
         spk_dim=int(spk_dim),
         platforms=list(platforms),
+        weights_as_args=weights is not None,
+        weight_dtypes=w_dtypes,
     )
     entries["__meta__"] = np.frombuffer(
         json.dumps(meta).encode("utf-8"), np.uint8
@@ -433,12 +561,13 @@ class ServingBundle:
     """Loaded serving artifact: picks the smallest fitting bucket, pads,
     executes the deserialized program, crops by olens."""
 
-    def __init__(self, meta: Dict[str, Any], fns: Dict[int, Any]):
+    def __init__(self, meta: Dict[str, Any], fns: Dict[int, Any], weights=None):
         self.meta = meta
         self.fns = fns  # bucket -> deserialized Exported
         self.batch_size = int(meta["batch_size"])
         self.buckets = sorted(int(t) for t in meta["text_buckets"])
         self.spk_dim = int(meta.get("spk_dim", 0))
+        self.weights = _device_weights(weights)
 
     def synthesize(
         self,
@@ -469,6 +598,8 @@ class ServingBundle:
             if spembs is not None:
                 se[: len(spembs)] = np.asarray(spembs, np.float32)
             args.append(se)
+        if self.weights is not None:
+            args = [self.weights] + args
         out = self.fns[bucket].call(*args)
         olens = np.asarray(out["olens"])
         hop = int(self.meta.get("hop_size", 0))

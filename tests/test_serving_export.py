@@ -275,8 +275,9 @@ def test_valle_bundle_two_stage(tmp_path):
 
     ar_model, ar_vars = reload("ar", VALLEAR)
     nar_model, nar_vars = reload("nar", VALLENAR)
-    fn = jax.jit(build_valle_fn(ar_model, ar_vars, nar_model, nar_vars,
-                                max_steps))
+    fused, weights = build_valle_fn(ar_model, ar_vars, nar_model, nar_vars,
+                                    max_steps)
+    fn = jax.jit(lambda *a: fused(weights, *a))
     xs = np.zeros((2, 8), np.int32)
     ilens = np.array([5, 3], np.int32)
     for i, t in enumerate(ids):
@@ -361,7 +362,8 @@ def test_e2tts_bundle_prompt_conditioned(tmp_path):
     assert all(np.isfinite(r).all() for r in res)
 
     # exact agreement with the in-process jit path on EMA weights
-    fn = jax.jit(build_e2tts_fn(config, model, {"params": ema}, mean, scale))
+    e2fn, weights = build_e2tts_fn(config, model, {"params": ema}, mean, scale)
+    fn = jax.jit(lambda *a: e2fn(weights, *a))
     cond = np.zeros((2, max_frames, num_mels), np.float32)
     text = np.full((2, 12), -1, np.int32)
     ref_lens = np.array([7, 5], np.int32)
@@ -416,12 +418,12 @@ def test_wav_baked_bundle(tmp_path):
 
     mean = np.zeros(num_mels, np.float32)
     scale = np.ones(num_mels, np.float32)
-    fn = build_infer_fn(
+    fn, weights = build_infer_fn(
         config, model, variables, mean, scale, max_frames, vocoder=voc
     )
     out = export_bundle(
         os.path.join(str(tmp_path), "serving.npz"), fn, 1, [16],
-        {"hop_size": 8, "output": "wav"}, platforms=["cpu"],
+        {"hop_size": 8, "output": "wav"}, platforms=["cpu"], weights=weights,
     )
     bundle = load_bundle(out)
     res = bundle.synthesize([[2, 3, 4]], seed=0)

@@ -30,13 +30,13 @@ def _tiny_bundle(tmp_path, batch_size=4):
         {"params": jax.random.key(0)}, np.ones((1, 5), np.int32),
         np.array([5]), max_frames, method=FastSpeech2.inference,
     )
-    fn = build_infer_fn(
+    fn, weights = build_infer_fn(
         config, model, variables, np.zeros(num_mels, np.float32),
         np.ones(num_mels, np.float32), max_frames,
     )
     out = export_bundle(
         os.path.join(str(tmp_path), "serving.npz"), fn, batch_size, [16],
-        {"output": "mel"}, platforms=["cpu"],
+        {"output": "mel"}, platforms=["cpu"], weights=weights,
     )
     return load_bundle(out)
 
