@@ -5,12 +5,19 @@ FS2+HiFi-GAN and VALL-E.
 
 Host-fetch barriers; iterations chained by data dependency (see CLAUDE.md).
 
-Measured v5e-1 (bf16 Matcha, B=8 x 1024 frames): ODE-10 RTF 0.00024
-(333k mel-frames/s), ODE-32 RTF 0.00062 (129k mel-frames/s). Caveats: the
-compile relay intermittently 413s / drops large programs (VITS, full
-E2-TTS did not get a clean compile window), and the first benchmark in a
-process absorbs ~2.3 s/call of tunnel/session ramp-up — root-caused and
-fixed by priming the chained dispatch path untimed in _bench.
+Measured v5e-1, bf16, round 4 (weights passed as jit ARGUMENTS — closing
+over them baked ~120 MB of params into the HLO as constants, which is what
+413'd the compile relay in round 3):
+    matcha ODE-10 (B=8 x 1024f)   RTF 0.00024  (335k mel-frames/s)
+    matcha ODE-32                 RTF 0.00063  (128k mel-frames/s)
+    vits                          RTF 0.00016  (503k mel-frames/s)
+    e2tts NFE-32 CFG (24L/1024d,
+      B=4, doubled-batch CFG)     RTF 0.03940  (2k mel-frames/s)
+E2-TTS is the one family above the 0.01 framework RTF target — inherent
+to 32x2 full-transformer passes per utterance batch; every other family
+is 10-60x under the target. The first benchmark in a process absorbs
+~2.3 s/call of tunnel/session ramp-up — fixed by priming the chained
+dispatch path untimed in _bench.
 """
 
 import sys

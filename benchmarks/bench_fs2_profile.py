@@ -57,17 +57,31 @@ VARIANTS = [
 
 
 def main():
+    import argparse
     import os
 
     import jax
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", nargs="*", default=None,
+                    help="substring filter on variant labels "
+                         "(baseline always runs for the delta)")
+    args = ap.parse_args()
 
     jax.config.update(
         "jax_compilation_cache_dir", os.path.expanduser("~/.cache/jatts_tpu/xla")
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    variants = VARIANTS
+    if args.only:
+        variants = [VARIANTS[0]] + [
+            v for v in VARIANTS[1:]
+            if any(s.lower() in v[0].lower() for s in args.only)
+        ]
+
     base_ms = None
-    for label, kw, cfg in VARIANTS:
+    for label, kw, cfg in variants:
         cfg = dict(cfg)
         b = cfg.pop("_b", 32)
         try:
