@@ -163,6 +163,7 @@ def run(tiny: bool = False, batch_size: int = 8, n_load: int = 64,
         out = {"bucket": bucket, "batch_size": batch_size,
                "export_s": round(export_s, 1), "first_call_s": round(compile_s, 1),
                "output": bundle.meta.get("output", "mel")}
+        hop_size = int(bundle.meta.get("hop_size", 300))
 
         # --- offered load: all requests in flight at once -------------------
         texts = _texts(n_load, bucket, rng, idim)
@@ -179,8 +180,12 @@ def run(tiny: bool = False, batch_size: int = 8, n_load: int = 64,
                     start[i] = time.monotonic()
                     res = server.submit(token_ids=texts[i]).result(timeout=600)
                     lat[i] = time.monotonic() - start[i]
-                    # host np arrays already fetched by the bundle
-                    mel_frames[i] = res["mel"].shape[0]
+                    # host np arrays already fetched by the bundle; pcm16
+                    # wav artifacts carry no mel — frames from wav length
+                    if "mel" in res:
+                        mel_frames[i] = res["mel"].shape[0]
+                    else:
+                        mel_frames[i] = len(res["wav"]) // hop_size
                 except Exception as e:  # noqa: BLE001 — re-raised after join
                     errors.append((i, e))
 

@@ -76,6 +76,11 @@ def main():
         help="'auto' bakes the config-declared HiFi-GAN in (text->wav "
         "artifact) when its checkpoint exists; 'none' exports mel only",
     )
+    parser.add_argument(
+        "--wav-format", default="pcm16", choices=["pcm16", "f32"],
+        help="waveform output of text->wav artifacts: int16 PCM quantized "
+        "in-program (5x smaller serving payload) or float32 (+ mel)",
+    )
     parser.add_argument("--verbose", type=int, default=1)
     args = parser.parse_args()
 
@@ -142,6 +147,7 @@ def main():
     fn, weights = build_infer_fn(
         config, model, variables, mel_mean, mel_scale, args.max_frames,
         vocoder=vocoder, use_spembs=bool(spk_dim),
+        wav_format=args.wav_format,
     )
     meta = {
         "model_type": config["model_type"],
@@ -151,6 +157,7 @@ def main():
                         else config.get("hop_size", 300)),
         "max_frames": int(args.max_frames),
         "output": "wav" if vocoder is not None else "mel",
+        "wav_format": args.wav_format if vocoder is not None else None,
         "checkpoint": _os.path.basename(str(ckpt_path)),
     }
     out = export_bundle(

@@ -105,12 +105,19 @@ def build_infer_fn(
     max_frames: int,
     vocoder=None,
     use_spembs: bool = False,
+    wav_format: str = "pcm16",
 ):
     """Bind model + stats (+ optional Vocoder) into one pure
     ``fn(weights, xs, ilens, seed[, spembs]) -> dict`` plus its weights
     pytree (passed at call time, NOT closed over — closed-over arrays become
     HLO constants, see module docstring). Mirrors the per-family inference
-    kwargs of bin/tts_decode.py."""
+    kwargs of bin/tts_decode.py.
+
+    ``wav_format`` (vocoder artifacts only): "pcm16" quantizes the waveform
+    to int16 IN-PROGRAM and drops the intermediate mel from the outputs —
+    the serving payload per batch shrinks 5x (f32 wav + f32 mel -> int16
+    wav + olens), which matters because device->host transfer is on the
+    serving critical path. "f32" keeps the float waveform and the mel."""
     import jax
     import jax.numpy as jnp
 
@@ -146,12 +153,21 @@ def build_infer_fn(
         mel_n = out["feat_gen"].astype(jnp.float32)
         # denorm by acoustic-model stats
         mel = mel_n * w["mel_scale"] + w["mel_mean"]
-        res = {"mel": mel, "olens": out["olens"].astype(jnp.int32)}
-        if voc_model is not None:
-            v = mel
-            if "voc_mean" in w:
-                v = (v - w["voc_mean"]) / w["voc_scale"]  # vocoder stats
-            res["wav"] = voc_model.apply(w["voc"], v)[..., 0]
+        res = {"olens": out["olens"].astype(jnp.int32)}
+        if voc_model is None:
+            res["mel"] = mel
+            return res
+        v = mel
+        if "voc_mean" in w:
+            v = (v - w["voc_mean"]) / w["voc_scale"]  # vocoder stats
+        wav = voc_model.apply(w["voc"], v)[..., 0]
+        if wav_format == "pcm16":
+            res["wav"] = jnp.round(
+                jnp.clip(wav, -1.0, 1.0) * 32767.0
+            ).astype(jnp.int16)
+        else:
+            res["mel"] = mel
+            res["wav"] = wav
         return res
 
     if use_spembs:
@@ -469,9 +485,8 @@ class ValleServingBundle:
             args = [self.weights] + args
         out = self.fns[bucket].call(*args)
         lens = np.asarray(out["resp_lens"])
-        return [
-            np.asarray(out["codes"][i][: lens[i]]) for i in range(n)
-        ]
+        codes = np.asarray(out["codes"])  # ONE fetch, host-side row slicing
+        return [codes[i, : lens[i]] for i in range(n)]
 
 
 def _device_weights(weights):
@@ -601,12 +616,20 @@ class ServingBundle:
         if self.weights is not None:
             args = [self.weights] + args
         out = self.fns[bucket].call(*args)
+        # fetch each output ONCE and slice on the host: np.asarray on a
+        # per-row device slice is a separate device->host transfer, and the
+        # fixed per-transfer latency (O(100 ms) through a dispatch tunnel)
+        # times 2 outputs x batch rows dominated serving latency
         olens = np.asarray(out["olens"])
         hop = int(self.meta.get("hop_size", 0))
+        mel = np.asarray(out["mel"]) if "mel" in out else None
+        wav = np.asarray(out["wav"]) if "wav" in out else None
         results = []
         for i in range(n):
-            r = {"mel": np.asarray(out["mel"][i][: olens[i]])}
-            if "wav" in out:
-                r["wav"] = np.asarray(out["wav"][i][: olens[i] * hop])
+            r = {}
+            if mel is not None:
+                r["mel"] = mel[i, : olens[i]]
+            if wav is not None:
+                r["wav"] = wav[i, : olens[i] * hop]
             results.append(r)
         return results

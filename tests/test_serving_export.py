@@ -418,8 +418,10 @@ def test_wav_baked_bundle(tmp_path):
 
     mean = np.zeros(num_mels, np.float32)
     scale = np.ones(num_mels, np.float32)
+    # f32 artifact: float wav + mel, lengths consistent
     fn, weights = build_infer_fn(
-        config, model, variables, mean, scale, max_frames, vocoder=voc
+        config, model, variables, mean, scale, max_frames, vocoder=voc,
+        wav_format="f32",
     )
     out = export_bundle(
         os.path.join(str(tmp_path), "serving.npz"), fn, 1, [16],
@@ -429,3 +431,19 @@ def test_wav_baked_bundle(tmp_path):
     res = bundle.synthesize([[2, 3, 4]], seed=0)
     assert res[0]["wav"].shape == (res[0]["mel"].shape[0] * 8,)
     assert np.isfinite(res[0]["wav"]).all()
+
+    # pcm16 artifact (the serving default): int16 wav only, sample-exact
+    # vs the f32 path after quantization
+    fn16, weights16 = build_infer_fn(
+        config, model, variables, mean, scale, max_frames, vocoder=voc,
+    )
+    out16 = export_bundle(
+        os.path.join(str(tmp_path), "serving16.npz"), fn16, 1, [16],
+        {"hop_size": 8, "output": "wav", "wav_format": "pcm16"},
+        platforms=["cpu"], weights=weights16,
+    )
+    res16 = load_bundle(out16).synthesize([[2, 3, 4]], seed=0)
+    assert "mel" not in res16[0]
+    assert res16[0]["wav"].dtype == np.int16
+    expect = np.round(np.clip(res[0]["wav"], -1, 1) * 32767).astype(np.int16)
+    np.testing.assert_array_equal(res16[0]["wav"], expect)
