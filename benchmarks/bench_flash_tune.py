@@ -72,23 +72,24 @@ def run(seqs, do_bwd, b=4, h=16, dh=64, k=8):
         flops_f = 4 * b * h * n * n * dh * k
 
         variants = [("xla", None, xla_attn)]
-        for bq in (128, 256, 512, 1024):
-            for bk in (128, 256, 512, 1024):
-                if bq > n or bk > n:
-                    continue
-                cfg = make_cfg(bq, bk)
-                variants.append((
-                    f"flash q{bq} k{bk}", cfg,
-                    lambda q_, k_, v_, c=cfg: flash_attention(
-                        q_, k_, v_, sm_scale=dh**-0.5, block_sizes=c),
-                ))
+        for bq, bk in ((128, 128), (256, 256), (512, 512), (512, 1024),
+                       (1024, 512), (1024, 1024), (2048, 1024)):
+            if bq > n or bk > n:
+                continue
+            cfg = make_cfg(bq, bk)
+            variants.append((
+                f"flash q{bq} k{bk}", cfg,
+                lambda q_, k_, v_, c=cfg: flash_attention(
+                    q_, k_, v_, sm_scale=dh**-0.5, block_sizes=c),
+            ))
         # block_b > 1: batch-tiled grid (fewer, fatter grid steps)
-        cfg_b = make_cfg(512, 512, bb=min(b, 2))
-        variants.append((
-            "flash q512 k512 b2", cfg_b,
-            lambda q_, k_, v_, c=cfg_b: flash_attention(
-                q_, k_, v_, sm_scale=dh**-0.5, block_sizes=c),
-        ))
+        if n >= 512 and b >= 2:
+            cfg_b = make_cfg(512, 512, bb=2)
+            variants.append((
+                "flash q512 k512 b2", cfg_b,
+                lambda q_, k_, v_, c=cfg_b: flash_attention(
+                    q_, k_, v_, sm_scale=dh**-0.5, block_sizes=c),
+            ))
 
         for name, _cfg, f in variants:
             @jax.jit

@@ -214,6 +214,43 @@ def run(tiny: bool = False, batch_size: int = 8, n_load: int = 64,
             load_p99_ms=round(float(np.percentile(lat, 99)) * 1e3, 1),
         )
 
+        # --- under-saturated: Poisson arrivals at ~50% of the measured
+        # saturated throughput (latency should approach solo + batch window)
+        half_rate = max(0.5 * n_load / wall, 0.1)
+        pace_lat = np.zeros(n_load)
+        pace_err = []
+        arrivals = np.cumsum(rng.exponential(1.0 / half_rate, n_load))
+        done_at = np.zeros(n_load)
+        with BatchingServer(bundle, max_delay_ms=max_delay_ms) as server:
+            futs = [None] * n_load
+            t0 = time.monotonic()
+            sub = np.zeros(n_load)
+            for i, t in enumerate(texts):
+                now = time.monotonic() - t0
+                if arrivals[i] > now:
+                    time.sleep(arrivals[i] - now)
+                sub[i] = time.monotonic()
+                futs[i] = server.submit(token_ids=t)
+                # completion stamped by the callback, not by collection
+                # order (result() in submission order would inflate
+                # latencies of requests that finished while we blocked)
+                futs[i].add_done_callback(
+                    lambda f, i=i: done_at.__setitem__(i, time.monotonic())
+                )
+            for i, f in enumerate(futs):
+                try:
+                    f.result(timeout=600)
+                    pace_lat[i] = done_at[i] - sub[i]
+                except Exception as e:  # noqa: BLE001
+                    pace_err.append(e)
+        if pace_err:
+            raise RuntimeError(f"paced request failed: {pace_err[0]!r}")
+        out.update(
+            paced_rate_utt_per_s=round(half_rate, 2),
+            paced_p50_ms=round(float(np.percentile(pace_lat, 50)) * 1e3, 1),
+            paced_p99_ms=round(float(np.percentile(pace_lat, 99)) * 1e3, 1),
+        )
+
         # --- solo latency: one request at a time ----------------------------
         solo = np.zeros(n_solo)
         with BatchingServer(bundle, max_delay_ms=max_delay_ms) as server:
