@@ -67,10 +67,38 @@ def _attend(scores, v, mask, dropout_rate, deterministic):
     return jnp.einsum("bhqk,bhkd->bhqd", attn.astype(v.dtype), v)
 
 
-# 'auto' backend crossover: XLA materialized attention measured faster than
-# the Pallas flash kernel at every S <= this on v5e-1
-# (benchmarks/bench_flagship_profile.py attn_micro)
-FLASH_AUTO_MIN_LEN = 4096
+# 'auto' backend crossover, re-measured in round 4 with TUNED kernel block
+# sizes (benchmarks/bench_flash_tune.py): the round-3 "8 TF/s kernel
+# ceiling" was the stock BlockSizes.get_default (128 everywhere) starving
+# the MXU; with q/k blocks >=512 the kernel beats XLA materialized
+# attention from S=512 up (f+b TF/s on v5e-1, b4 h16 dh64: 3.5-vs-3.0 @512,
+# 10.9-vs-7.7 @1024, 25.7-vs-17.4 @2048, 38-vs-25 @4096; XLA fails to
+# compile at 8192 where flash reaches 46). The threshold stays at 1024 —
+# not lower — only because the fused path skips attention-prob dropout, so
+# 'auto' should switch away from exact-reference training semantics only
+# once the win is decisive, not for the ~15% at S=512.
+FLASH_AUTO_MIN_LEN = 1024
+
+
+def _flash_block_sizes(t_q: int, t_k: int):
+    """Tuned tile sizes for the Pallas flash kernel. The sweep plateaus for
+    q/k blocks in {512, 1024} and collapses 4.7x at the stock 128 default;
+    pick the largest 128-multiple divisor of each sequence length, capped
+    at 1024 (t is guaranteed a 128 multiple by _flash_ok)."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import BlockSizes
+
+    def best(t):
+        for bs in (1024, 896, 768, 640, 512, 384, 256, 128):
+            if bs <= t and t % bs == 0:
+                return bs
+        return min(t, 128)
+
+    bq, bk = best(t_q), best(t_k)
+    return BlockSizes(
+        block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
+        block_q_major_dkv=bq, block_k_major_dkv=bk, block_k_dkv=bk,
+        block_q_dkv=bq, block_k_major_dq=bk, block_k_dq=bk, block_q_dq=bq,
+    )
 
 
 def flash_pad_needed(backend: str, t: int) -> bool:
@@ -88,10 +116,10 @@ def _flash_ok(backend: str, mask, t_q: int, t_k: int) -> bool:
     128-divisible sequence lengths (kernel block size), and a per-key
     padding mask (segment ids cannot express arbitrary [B, Tq, Tk] masks).
 
-    backend='auto' picks XLA for S<=4096 — measured faster than the stock
-    Pallas kernel at every such length on v5e-1
-    (benchmarks/bench_flagship_profile.py attn_micro) — and flash beyond,
-    where the materialized [B,H,S,S] tensors become HBM-prohibitive."""
+    backend='auto' picks XLA for S<=1024 (exact reference semantics incl.
+    attention-prob dropout) and the tuned-block flash kernel beyond, where
+    it wins decisively (1.5x+ at 2048/4096; XLA cannot even compile 8192 —
+    benchmarks/bench_flash_tune.py, round 4)."""
     import jax
 
     if backend == "auto":
@@ -142,7 +170,9 @@ def _flash_attend(q, k, v, ab, mask, sm_scale, causal=False):
         ids = (mask[:, 0] if mask.ndim == 3 else mask).astype(jnp.int32)
         seg = SegmentIds(q=ids, kv=ids)  # self-attention padding mask
     out = flash_attention(
-        q, k, v, ab=ab, segment_ids=seg, causal=causal, sm_scale=float(sm_scale)
+        q, k, v, ab=ab, segment_ids=seg, causal=causal,
+        sm_scale=float(sm_scale),
+        block_sizes=_flash_block_sizes(q.shape[2], k.shape[2]),
     )
     return out[..., :d_v]
 
