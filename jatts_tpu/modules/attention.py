@@ -83,12 +83,15 @@ FLASH_AUTO_MIN_LEN = 1024
 def _flash_block_sizes(t_q: int, t_k: int):
     """Tuned tile sizes for the Pallas flash kernel. The sweep plateaus for
     q/k blocks in {512, 1024} and collapses 4.7x at the stock 128 default;
-    pick the largest 128-multiple divisor of each sequence length, capped
-    at 1024 (t is guaranteed a 128 multiple by _flash_ok)."""
+    pick the largest sweep-validated divisor of each sequence length,
+    capped at 512 (1024 was within 5% but crashes the Mosaic compile for
+    some shapes — e.g. 896-wide blocks with the d=256 fused rel-pos
+    operands; the backward kernels require blocks to DIVIDE the sequence,
+    hence `_flash_seq_pad` below)."""
     from jax.experimental.pallas.ops.tpu.flash_attention import BlockSizes
 
     def best(t):
-        for bs in (1024, 896, 768, 640, 512, 384, 256, 128):
+        for bs in (512, 384, 256, 128):
             if bs <= t and t % bs == 0:
                 return bs
         return min(t, 128)
@@ -99,6 +102,20 @@ def _flash_block_sizes(t_q: int, t_k: int):
         block_q_major_dkv=bq, block_k_major_dkv=bk, block_k_dkv=bk,
         block_q_dkv=bq, block_k_major_dq=bk, block_k_dq=bk, block_q_dq=bq,
     )
+
+
+def _flash_seq_pad(t: int) -> int:
+    """Extra sequence padding so the kernel gets >=384-wide blocks.
+
+    The backward kernels require block sizes that divide the sequence
+    length, so a 128-multiple like 896 would be stuck with 128-wide blocks
+    (2-3x slower per the sweep). Padding 896 -> 1024 costs <=33% more
+    attention FLOPs but keeps the fat-block kernel — a net win everywhere
+    measured. Lengths already divisible by 512 or 384, or short enough to
+    be a single block, pad nothing."""
+    if t <= 512 or t % 512 == 0 or t % 384 == 0:
+        return 0
+    return -t % 512
 
 
 def flash_pad_needed(backend: str, t: int) -> bool:
@@ -165,16 +182,36 @@ def _flash_attend(q, k, v, ab, mask, sm_scale, causal=False):
         return jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, p))) if p else x
 
     q, k, v = pad_to(q), pad_to(k), pad_to(v)
+
+    # fat-block sequence padding (see _flash_seq_pad): awkward 128-multiple
+    # lengths get extended so the backward kernels can tile >=384 wide; the
+    # pad key rows are masked via segment ids and pad q rows sliced off
+    t_q_orig = q.shape[2]
+    sp_q, sp_k = _flash_seq_pad(q.shape[2]), _flash_seq_pad(k.shape[2])
+    if (sp_q or sp_k) and mask is None:
+        mask = jnp.ones((q.shape[0], k.shape[2]), bool)
+    if sp_q:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, sp_q), (0, 0)))
+    if sp_k:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, sp_k), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, sp_k), (0, 0)))
+    if ab is not None and (sp_q or sp_k):
+        ab = jnp.pad(ab, ((0, 0), (0, 0), (0, sp_q), (0, sp_k)))
+
     seg = None
     if mask is not None:
         ids = (mask[:, 0] if mask.ndim == 3 else mask).astype(jnp.int32)
+        if sp_k:
+            # pad rows carry id 0 like pad keys: well-defined softmax rows
+            # (pads attend among themselves), q pad rows sliced off below
+            ids = jnp.pad(ids, ((0, 0), (0, sp_k)))
         seg = SegmentIds(q=ids, kv=ids)  # self-attention padding mask
     out = flash_attention(
         q, k, v, ab=ab, segment_ids=seg, causal=causal,
         sm_scale=float(sm_scale),
         block_sizes=_flash_block_sizes(q.shape[2], k.shape[2]),
     )
-    return out[..., :d_v]
+    return out[:, :, :t_q_orig, :d_v]
 
 
 def relpos_fused_features(q_v, w_pos, t: int, n_feat: int):
