@@ -70,14 +70,17 @@ def _attend(scores, v, mask, dropout_rate, deterministic):
 # 'auto' backend crossover, re-measured in round 4 with TUNED kernel block
 # sizes (benchmarks/bench_flash_tune.py): the round-3 "8 TF/s kernel
 # ceiling" was the stock BlockSizes.get_default (128 everywhere) starving
-# the MXU; with q/k blocks >=512 the kernel beats XLA materialized
-# attention from S=512 up (f+b TF/s on v5e-1, b4 h16 dh64: 3.5-vs-3.0 @512,
-# 10.9-vs-7.7 @1024, 25.7-vs-17.4 @2048, 38-vs-25 @4096; XLA fails to
-# compile at 8192 where flash reaches 46). The threshold stays at 1024 —
-# not lower — only because the fused path skips attention-prob dropout, so
-# 'auto' should switch away from exact-reference training semantics only
-# once the win is decisive, not for the ~15% at S=512.
-FLASH_AUTO_MIN_LEN = 1024
+# the MXU; with q/k blocks >=512 the kernel beats XLA in the MICRO from
+# S=512 up (f+b TF/s on v5e-1, b4 h16 dh64: 10.9-vs-7.7 @1024,
+# 25.7-vs-17.4 @2048, 38-vs-25 @4096; XLA fails to compile at 8192 where
+# flash reaches 46). But micro wins at S~1k do NOT survive real training
+# steps — measured with everything else identical: VALL-E AR S=896->1024
+# 226.4 flash vs 193.5 xla ms/step, E2-TTS S~1k 298.5 vs 263.3 (XLA fuses
+# the materialized path into its neighbors; the kernel is an opaque call
+# boundary). The threshold sits where the micro margin is decisive enough
+# (1.5x @2048) to survive that fusion tax, and where [B,H,S,S]
+# materialization starts to be an HBM liability anyway.
+FLASH_AUTO_MIN_LEN = 2048
 
 
 def _flash_block_sizes(t_q: int, t_k: int):
@@ -133,10 +136,11 @@ def _flash_ok(backend: str, mask, t_q: int, t_k: int) -> bool:
     128-divisible sequence lengths (kernel block size), and a per-key
     padding mask (segment ids cannot express arbitrary [B, Tq, Tk] masks).
 
-    backend='auto' picks XLA for S<=1024 (exact reference semantics incl.
-    attention-prob dropout) and the tuned-block flash kernel beyond, where
-    it wins decisively (1.5x+ at 2048/4096; XLA cannot even compile 8192 —
-    benchmarks/bench_flash_tune.py, round 4)."""
+    backend='auto' picks XLA for S<=2048 (exact reference semantics incl.
+    attention-prob dropout, and measured faster in REAL steps at S~1k
+    despite micro losses) and the tuned-block flash kernel beyond, where
+    the micro margin is decisive (1.5x+ at 2048/4096; XLA cannot even
+    compile 8192 — benchmarks/bench_flash_tune.py, round 4)."""
     import jax
 
     if backend == "auto":
