@@ -53,6 +53,54 @@ def levenshtein(a: str, b: str) -> int:
     return prev[-1]
 
 
+def edit_counts(ref, hyp):
+    """Alignment counts (hits, substitutions, deletions, insertions) of
+    hyp vs ref token sequences — what jiwer's compute_measures returns and
+    the reference's corpus-level error rate is built from
+    (jatts/bin/evaluate.py:104-112)."""
+    n, m = len(ref), len(hyp)
+    # dp[i][j] = (cost, hits, sub, del, ins) — cost-first tuple comparison
+    prev = [(j, 0, 0, 0, j) for j in range(m + 1)]
+    for i in range(1, n + 1):
+        cur = [(i, 0, 0, i, 0)]
+        for j in range(1, m + 1):
+            if ref[i - 1] == hyp[j - 1]:
+                c, h, s, d, ins = prev[j - 1]
+                cand = (c, h + 1, s, d, ins)
+            else:
+                c, h, s, d, ins = prev[j - 1]
+                cand = (c + 1, h, s + 1, d, ins)
+            c, h, s, d, ins = prev[j]
+            cand = min(cand, (c + 1, h, s, d + 1, ins))
+            c, h, s, d, ins = cur[j - 1]
+            cand = min(cand, (c + 1, h, s, d, ins + 1))
+            cur.append(cand)
+        prev = cur
+    _, h, s, d, ins = prev[-1]
+    return {"hits": h, "substitutions": s, "deletions": d, "insertions": ins}
+
+
+def normalize_sentence(sentence: str) -> str:
+    """The reference's ASR-eval normalization (jatts/bin/evaluate.py:35-43):
+    uppercase, strip punctuation, then pyopenjtalk kana reading so CER
+    compares pronunciations, not orthography. pyopenjtalk is gated in this
+    image — without it the punctuation-stripped text is compared directly
+    (exact for kana/ASCII, a documented divergence for kanji)."""
+    import unicodedata
+
+    sentence = sentence.upper()
+    sentence = "".join(
+        ch for ch in sentence if not unicodedata.category(ch).startswith("P")
+    )
+    try:
+        import pyopenjtalk  # noqa: PLC0415
+
+        sentence = pyopenjtalk.g2p(sentence, kana=True)
+    except ImportError:
+        pass
+    return sentence
+
+
 def _worker_init():
     """Force CPU in pool workers BEFORE any backend initializes: the
     metric path runs jitted jax ops, and N extra jax processes contending
@@ -87,17 +135,28 @@ def _eval_asr(tasks, rows, sr, args):
         logging.warning(f"ASR unavailable ({e}); skipping CER")
         return None
     ref_by_utt = {r["sample_id"]: r.get("original_text", "") for r in rows}
-    total_err, total_len = 0, 0
+    keys = ("hits", "substitutions", "deletions", "insertions")
+    c_tot = {k: 0 for k in keys}
+    w_tot = {k: 0 for k in keys}
     for utt, gen_path, *_ in tasks:
         # raw-array input: the filename path needs ffmpeg (absent here); the
         # reference also feeds arrays (evaluate.py:95-99 via librosa.load)
         wav, _ = read_audio(gen_path, 16000)
-        hyp = asr({"raw": wav, "sampling_rate": 16000})["text"]
-        ref = ref_by_utt.get(utt, "")
-        total_err += levenshtein(hyp, ref)
-        total_len += max(len(ref), 1)
-    cer = 100.0 * total_err / max(total_len, 1)
-    print(f"CER: {cer:.2f}%")
+        hyp = normalize_sentence(asr({"raw": wav, "sampling_rate": 16000})["text"])
+        ref = normalize_sentence(ref_by_utt.get(utt, ""))
+        for tot, r, h in ((c_tot, ref, hyp),
+                          (w_tot, ref.split(), hyp.split())):
+            for k, v in edit_counts(r, h).items():
+                tot[k] += v
+
+    # corpus-level rates over pooled counts (reference evaluate.py:104-112)
+    def er(r):
+        den = r["substitutions"] + r["deletions"] + r["hits"]
+        return 100.0 * (r["substitutions"] + r["deletions"]
+                        + r["insertions"]) / max(den, 1)
+
+    cer, wer = er(c_tot), er(w_tot)
+    print(f"CER: {cer:.2f}%  WER: {wer:.2f}%")
     return cer
 
 

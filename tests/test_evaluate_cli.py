@@ -51,3 +51,26 @@ def test_evaluate_cli(tmp_path, capsys):
         res = list(_csv.DictReader(f))
     assert len(res) == 2
     assert all(float(r["mcd"]) < 0.01 for r in res)  # identical wavs
+
+
+def test_edit_counts_and_normalization():
+    """Reference-faithful ASR-eval pieces (jatts/bin/evaluate.py:35-112):
+    alignment counts match hand-computed hits/subs/dels/ins, the pooled
+    corpus-level error-rate formula, and the uppercase+punctuation-strip
+    normalization (kana G2P is gated on pyopenjtalk)."""
+    from jatts_tpu.bin.evaluate import edit_counts, levenshtein, normalize_sentence
+
+    c = edit_counts("abcdef", "abzdefg")
+    assert c == {"hits": 5, "substitutions": 1, "deletions": 0, "insertions": 1}
+    # total edits always equals the plain Levenshtein distance
+    for r, h in [("kitten", "sitting"), ("", "abc"), ("abc", ""), ("aa", "aa")]:
+        cc = edit_counts(r, h)
+        assert cc["substitutions"] + cc["deletions"] + cc["insertions"] == \
+            levenshtein(r, h)
+        assert cc["hits"] + cc["substitutions"] + cc["deletions"] == len(r)
+
+    s = normalize_sentence("Hello, World!")
+    assert "," not in s and "!" not in s
+    assert s.startswith("HELLO")
+    # Japanese punctuation (category P) stripped too
+    assert "。" not in normalize_sentence("あ。")
