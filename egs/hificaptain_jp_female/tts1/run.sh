@@ -8,7 +8,9 @@ stop_stage=5
 conf=conf/fastspeech2.v1.yaml
 tag=""
 db_root=downloads/hi-fi-captain/ja-JP/female
-labdir=""            # julius .lab dir (utils/run_julius.sh output); optional
+labdir=""            # julius .lab dir (utils/run_julius.sh output);
+                     # empty = stage 0 trains the native aligner (bin/align.py)
+align_steps=2000
 train_csv=data/train.csv
 dev_csv=data/dev.csv
 test_csv=data/test.csv
@@ -29,6 +31,12 @@ if [ "${stage}" -le 0 ] && [ "${stop_stage}" -ge 0 ]; then
     echo "Stage 0: Data preparation"
     python local/data_prep.py --db-root "${db_root}" --outdir data \
         ${labdir:+--labdir "${labdir}"} --hop-size 512 --fs 48000
+    if [ -z "${labdir}" ]; then
+        echo "Stage 0b: Native forced alignment (no --labdir given)"
+        python ${BIN}/align.py \
+            --csv "${train_csv}" "${dev_csv}" "${test_csv}" \
+            --config "${conf}" --outdir exp/aligner --steps "${align_steps}"
+    fi
 fi
 
 if [ "${stage}" -le 1 ] && [ "${stop_stage}" -ge 1 ]; then

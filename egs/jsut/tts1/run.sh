@@ -8,7 +8,9 @@ stop_stage=5
 conf=conf/fastspeech2.v1.yaml
 tag=""
 db_root=downloads/jsut
-labdir=""         # forced-alignment .lab dir (Julius output) for durations
+labdir=""         # forced-alignment .lab dir (Julius output) for durations;
+                  # empty = stage 0 trains the native aligner (bin/align.py)
+align_steps=2000  # native-aligner training steps
 train_csv=data/train.csv
 dev_csv=data/dev.csv
 test_csv=data/test.csv
@@ -35,6 +37,12 @@ if [ "${stage}" -le 0 ] && [ "${stop_stage}" -ge 0 ]; then
     python local/data_prep.py --db-root "${db_root}" --outdir data \
         --n-dev "${n_dev}" --n-test "${n_test}" \
         ${labdir:+--labdir "${labdir}"}
+    if [ -z "${labdir}" ]; then
+        echo "Stage 0b: Native forced alignment (no --labdir given)"
+        python ${BIN}/align.py \
+            --csv "${train_csv}" "${dev_csv}" "${test_csv}" \
+            --config "${conf}" --outdir exp/aligner --steps "${align_steps}"
+    fi
 fi
 
 if [ "${stage}" -le 1 ] && [ "${stop_stage}" -ge 1 ]; then

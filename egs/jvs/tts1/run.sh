@@ -8,7 +8,9 @@ stop_stage=5
 conf=conf/fastspeech2.v1.yaml
 tag=""
 db_root=downloads/jvs_ver1
-labdir=""   # Julius .lab dir (<spk>_<utt>.lab); required for FastSpeech2 durations
+labdir=""   # Julius .lab dir (<spk>_<utt>.lab); empty = stage 0 trains the
+            # native aligner (bin/align.py) for FastSpeech2 durations
+align_steps=2000
 dev_per_spk=3
 test_per_spk=3
 vocoder=auto      # auto | griffin_lim (weights-free fallback)
@@ -33,6 +35,12 @@ if [ "${stage}" -le 0 ] && [ "${stop_stage}" -ge 0 ]; then
     python local/data_prep.py --db-root "${db_root}" --outdir data \
         ${labdir:+--labdir "${labdir}"} \
         --dev-per-spk "${dev_per_spk}" --test-per-spk "${test_per_spk}"
+    if [ -z "${labdir}" ]; then
+        echo "Stage 0b: Native forced alignment (no --labdir given)"
+        python ${BIN}/align.py \
+            --csv "${train_csv}" "${dev_csv}" "${test_csv}" \
+            --config "${conf}" --outdir exp/aligner --steps "${align_steps}"
+    fi
 fi
 
 if [ "${stage}" -le 1 ] && [ "${stop_stage}" -ge 1 ]; then

@@ -105,18 +105,20 @@ def test_attn_backend_flash_falls_back_on_cpu():
 
 
 def test_attn_backend_auto_policy(monkeypatch):
-    """'auto' = XLA at S<=4096 (measured faster on v5e-1), flash beyond —
-    the length gate applies before the platform gate, so short sequences
-    resolve to XLA even on TPU."""
+    """'auto' = XLA at S<=FLASH_AUTO_MIN_LEN (2048 — tuned-block kernel wins
+    real steps only beyond it, docs/ROUND4.md), flash beyond — the length
+    gate applies before the platform gate, so short sequences resolve to XLA
+    even on TPU."""
     import jax
 
     from jatts_tpu.modules import attention
 
+    gate = attention.FLASH_AUTO_MIN_LEN
     # short sequences: XLA regardless of platform
     assert not attention._flash_ok("auto", None, 128, 128)
-    assert not attention._flash_ok("auto", None, 4096, 4096)
+    assert not attention._flash_ok("auto", None, gate, gate)
     # long sequences: flash — but only on a TPU-class backend
-    assert not attention._flash_ok("auto", None, 8192, 8192)  # CPU here
+    assert not attention._flash_ok("auto", None, 2 * gate, 2 * gate)  # CPU
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
-    assert attention._flash_ok("auto", None, 8192, 8192)
-    assert not attention._flash_ok("auto", None, 4096, 4096)
+    assert attention._flash_ok("auto", None, 2 * gate, 2 * gate)
+    assert not attention._flash_ok("auto", None, gate, gate)
