@@ -145,7 +145,7 @@ def main():
             print(f"# failed: {str(e)[:140]}")
 
 
-def bench_e2tts(steps=32, dim=1024, depth=24, heads=16, quiet=False):
+def bench_e2tts(steps=32, dim=1024, depth=24, heads=16, b=4, quiet=False):
     """E2-TTS NFE-32 CFG inference (doubled-batch CFG Euler, bf16 compute,
     XLA attention — the round-3 default; full-size UNetT). May 413 on the
     compile relay — isolated by main()."""
@@ -154,7 +154,7 @@ def bench_e2tts(steps=32, dim=1024, depth=24, heads=16, quiet=False):
 
     from jatts_tpu.models.e2tts import E2TTS
 
-    b, t_max, nt = 4, 1024, 96
+    t_max, nt = 1024, 96
     model = E2TTS(idim=64, odim=80, dim=dim, depth=depth, heads=heads,
                   dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
@@ -180,7 +180,7 @@ def bench_e2tts(steps=32, dim=1024, depth=24, heads=16, quiet=False):
         )
         return out["feat_gen"].astype(jnp.float32)
 
-    return _bench(f"e2tts NFE-{steps} ({depth}L/{dim}d)",
+    return _bench(f"e2tts NFE-{steps} ({depth}L/{dim}d, B={b})",
                   lambda feed: infer_v(variables, feed), cond, b, t_max,
                   quiet=quiet)
 
