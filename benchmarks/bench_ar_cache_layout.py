@@ -1,0 +1,229 @@
+"""Isolate the VALL-E AR decode KV-cache update cost: per-row scatter vs
+uniform-slot dynamic_update_slice vs split prefix/decode caches.
+
+Round-3/4 measurements put the AR scan at 5.8 ms/step (B=32, 12L/1024d,
+S_cap=547) against an HBM roofline of ~1.4 ms/step (300 MB weights +
+857 MB KV read per step at 819 GB/s on v5e). Hypothesis: the per-row
+``write_pos`` cache update (vmapped dynamic_update_slice == scatter with
+batched start indices) defeats XLA's in-place aliasing of the scan carry,
+so every step pays a full cache copy (R+W) on top of the attention read.
+
+Three layouts, same attention math, jitted scan over ``steps`` iterations:
+
+  scatter   — current ``decode_step``: [B, S, H, Dh] caches in the carry,
+              per-row write position (rows have different prefix lengths).
+  uniform   — same monolithic caches, but every row writes the SAME slot
+              (prefix padded to capacity; mask hides the gap). The update
+              is a plain dynamic_update_slice -> alias-friendly.
+  split     — prefix caches constant OUTSIDE the carry (scan closure);
+              carry holds only the [B, steps, H, Dh] decode-region caches,
+              written at the uniform slot; attention concatenates both
+              regions' scores.
+
+All variants time pure cache+attention traffic (to_qkv/FFN matmuls are
+identical across layouts and excluded) so the delta is the cache-update
+mechanism itself. Host-fetch barrier; chained by data dependency.
+
+Usage: python benchmarks/bench_ar_cache_layout.py [--b 32] [--layers 12]
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+
+def _enable_compile_cache():
+    import os
+
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.expanduser("~/.cache/jatts_tpu/xla"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def run(b=32, layers=12, heads=16, dh=64, prefix=291, steps=256, dtype="bfloat16"):
+    import jax
+    import jax.numpy as jnp
+
+    dt = jnp.dtype(dtype)
+    s_cap = prefix + steps
+    rng = np.random.default_rng(0)
+    # per-row prefix lengths (ragged, like real text+prom packing)
+    plens = jnp.asarray(rng.integers(prefix // 2, prefix + 1, (b,)).astype(np.int32))
+
+    def mk_caches(shape):
+        return [
+            (jnp.asarray(rng.normal(size=shape).astype(np.float32)).astype(dt),
+             jnp.asarray(rng.normal(size=shape).astype(np.float32)).astype(dt))
+            for _ in range(layers)
+        ]
+
+    q0 = jnp.asarray(rng.normal(size=(b, heads, dh)).astype(np.float32)).astype(dt)
+    scale = dh**-0.5
+
+    def attend(q, k_all, v_all, valid):
+        e = jnp.einsum("bhd,bjhd->bhj", q, k_all) * scale
+        e = jnp.where(valid[:, None, :], e, -1e9)
+        a = jax.nn.softmax(e, axis=-1)
+        return jnp.einsum("bhj,bjhd->bhd", a, v_all)
+
+    # ---- layout 1: monolithic caches, per-row scatter (current decode_step)
+    def scatter_step(carry, i):
+        q, caches = carry
+        pos = plens + i  # per-row absolute slot
+        upd = jax.vmap(
+            lambda c, x, p: jax.lax.dynamic_update_slice(c, x[None], (p, 0, 0))
+        )
+        new = []
+        o_acc = q
+        for (ck, cv) in caches:
+            kv = o_acc[:, :, :]  # data-dependent new K/V stand-in
+            ck = upd(ck, kv, pos)
+            cv = upd(cv, kv, pos)
+            valid = jnp.arange(s_cap)[None, :] <= pos[:, None]
+            o_acc = attend(o_acc, ck, cv, valid)
+            new.append((ck, cv))
+        return (o_acc, new), ()
+
+    # ---- layout 2: monolithic caches, uniform slot (prefix padded to cap)
+    def uniform_step(carry, i):
+        q, caches = carry
+        slot = prefix + i  # SAME for every row
+        new = []
+        o_acc = q
+        prefix_valid = jnp.arange(s_cap)[None, :] < plens[:, None]
+        for (ck, cv) in caches:
+            kv = o_acc[:, None, :, :]
+            ck = jax.lax.dynamic_update_slice(ck, kv, (0, slot, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cv, kv, (0, slot, 0, 0))
+            dec_valid = (jnp.arange(s_cap)[None, :] >= prefix) & (
+                jnp.arange(s_cap)[None, :] <= slot
+            )
+            valid = prefix_valid | dec_valid
+            o_acc = attend(o_acc, ck, cv, valid)
+            new.append((ck, cv))
+        return (o_acc, new), ()
+
+    # ---- layout 2b: uniform slot, caches stored [B, H, S, Dh] — the
+    # attention GEMV then reads each head's [S, Dh] panel contiguously
+    # instead of striding across heads
+    def uniform_bhsd_step(carry, i):
+        q, caches = carry
+        slot = prefix + i
+        new = []
+        o_acc = q
+        prefix_valid = jnp.arange(s_cap)[None, :] < plens[:, None]
+        for (ck, cv) in caches:  # [B, H, S, Dh]
+            kv = o_acc[:, :, None, :]  # [B, H, 1, Dh]
+            ck = jax.lax.dynamic_update_slice(ck, kv, (0, 0, slot, 0))
+            cv = jax.lax.dynamic_update_slice(cv, kv, (0, 0, slot, 0))
+            dec_valid = (jnp.arange(s_cap)[None, :] >= prefix) & (
+                jnp.arange(s_cap)[None, :] <= slot
+            )
+            valid = prefix_valid | dec_valid
+            e = jnp.einsum("bhd,bhjd->bhj", o_acc, ck) * scale
+            e = jnp.where(valid[:, None, :], e, -1e9)
+            a = jax.nn.softmax(e, axis=-1)
+            o_acc = jnp.einsum("bhj,bhjd->bhd", a, cv)
+            new.append((ck, cv))
+        return (o_acc, new), ()
+
+    # ---- layout 3: split caches — prefix constant, decode region in carry.
+    # The prefix caches MUST enter via jit arguments, not closure: closed-over
+    # arrays become HLO constants (457 MB here), which 413s the remote-compile
+    # relay — the same defect round 4 fixed in serving (weights_as_args).
+    def split_step_of(prefix_caches):
+        def split_step(carry, i):
+            q, dcaches = carry
+            new = []
+            o_acc = q
+            pvalid = jnp.arange(prefix)[None, :] < plens[:, None]
+            dvalid = jnp.broadcast_to(
+                jnp.arange(steps)[None, :] <= i, (b, steps)
+            )
+            for (pk, pv), (dk, dv) in zip(prefix_caches, dcaches):
+                kv = o_acc[:, None, :, :]
+                dk = jax.lax.dynamic_update_slice(dk, kv, (0, i, 0, 0))
+                dv = jax.lax.dynamic_update_slice(dv, kv, (0, i, 0, 0))
+                k_all = jnp.concatenate([pk, dk], axis=1)
+                v_all = jnp.concatenate([pv, dv], axis=1)
+                valid = jnp.concatenate([pvalid, dvalid], axis=1)
+                o_acc = attend(o_acc, k_all, v_all, valid)
+                new.append((dk, dv))
+            return (o_acc, new), ()
+
+        return split_step
+
+    results = {}
+
+    def bench(name, make_fn, init_carry, aux, n_timed=3):
+        stepped = jax.jit(
+            lambda c, a: jax.lax.scan(
+                make_fn(a), c, jnp.arange(steps, dtype=jnp.int32)
+            )[0][0]
+        )
+        out = stepped(init_carry, aux)
+        float(out.sum())  # compile + barrier
+        # prime the chained-dispatch path (first dispatches pay ramp-up)
+        for _ in range(2):
+            out = stepped((init_carry[0] + (out.sum() * 0).astype(dt),
+                           init_carry[1]), aux)
+        float(out.sum())
+        t0 = time.perf_counter()
+        acc = out
+        for _ in range(n_timed):
+            acc = stepped((init_carry[0] + (acc.sum() * 0).astype(dt),
+                           init_carry[1]), aux)
+        float(acc.sum())
+        dt_s = (time.perf_counter() - t0) / n_timed
+        ms_per_step = dt_s / steps * 1e3
+        results[name] = ms_per_step
+        print(f"{name:10s}: {ms_per_step:7.3f} ms/step "
+              f"({dt_s * 1e3:8.1f} ms / {steps} steps)", flush=True)
+        return ms_per_step
+
+    mono = mk_caches((b, s_cap, heads, dh))
+    bench("scatter", lambda _: scatter_step, (q0, mono), ())
+    bench("uniform", lambda _: uniform_step, (q0, mono), ())
+    mono_bhsd = [(jnp.moveaxis(k, 1, 2), jnp.moveaxis(v, 1, 2)) for k, v in mono]
+    bench("uni_bhsd", lambda _: uniform_bhsd_step, (q0, mono_bhsd), ())
+    pfx = mk_caches((b, prefix, heads, dh))
+    dec = [
+        (jnp.zeros((b, steps, heads, dh), dt), jnp.zeros((b, steps, heads, dh), dt))
+        for _ in range(layers)
+    ]
+    bench("split", split_step_of, (q0, dec), pfx)
+
+    kv_bytes = b * s_cap * heads * dh * dt.itemsize * 2 * layers
+    print(f"# KV read/step (monolithic): {kv_bytes / 1e6:.0f} MB "
+          f"-> roofline {kv_bytes / 819e9 * 1e3:.3f} ms/step at 819 GB/s")
+    return results
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--b", type=int, default=32)
+    ap.add_argument("--layers", type=int, default=12)
+    ap.add_argument("--heads", type=int, default=16)
+    ap.add_argument("--dh", type=int, default=64)
+    ap.add_argument("--prefix", type=int, default=291)
+    ap.add_argument("--steps", type=int, default=256)
+    ap.add_argument("--cpu", action="store_true", help="CPU smoke")
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    _enable_compile_cache()
+    run(b=args.b, layers=args.layers, heads=args.heads, dh=args.dh,
+        prefix=args.prefix, steps=args.steps)
+
+
+if __name__ == "__main__":
+    main()

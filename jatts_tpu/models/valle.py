@@ -338,9 +338,19 @@ class VALLEAR(VALLEBase):
         )[:, 0, :]
         return last, prefix_len, tuple(caches_k), tuple(caches_v)
 
-    def decode_one(self, tok, pos, caches_k, caches_v):
+    def decode_one(self, tok, pos, step, prefix_cap, caches_k, caches_v):
         """One KV-cached AR step: token [B] at absolute positions [B] ->
-        (logits [B, V], updated caches)."""
+        (logits [B, V], updated caches).
+
+        ``pos`` (= per-row prefix_len + step) feeds the sinusoidal PE —
+        positions stay per-row exact. The CACHE SLOT is decoupled from the
+        position: every row writes slot ``prefix_cap + step`` (uniform), so
+        the update is a dynamic_update_slice that XLA aliases in place
+        inside the scan carry, not a per-row scatter that forces a full
+        cache copy per step (1.5x on the cache+attention path, measured in
+        benchmarks/bench_ar_cache_layout.py). The unused gap between each
+        row's prefix_len and prefix_cap is masked out of the attention.
+        """
         e = jnp.take(
             self.resps_weight[0], jnp.clip(tok, 0, self.n_resp_tokens - 1), axis=0
         )
@@ -348,9 +358,16 @@ class VALLEAR(VALLEBase):
             :, None, :
         ].astype(e.dtype)
         h = e
+        s_cap = caches_k[0].shape[1]
+        slot = prefix_cap + step
+        j = jnp.arange(s_cap)[None, :]
+        prefix_len = pos - step  # invariant of the ar_generate scan carry
+        valid = (j < prefix_len[:, None]) | ((j >= prefix_cap) & (j <= slot))
         new_ck, new_cv = [], []
         for i, block in enumerate(self.blocks):
-            h, k_i, v_i = block.decode_step(h, caches_k[i], caches_v[i], pos)
+            h, k_i, v_i = block.decode_step(
+                h, caches_k[i], caches_v[i], slot, valid
+            )
             new_ck.append(k_i)
             new_cv.append(v_i)
         logits = self.classifier(h)[:, 0, :].astype(jnp.float32)
@@ -376,14 +393,20 @@ def ar_generate(
         variables, text, text_lens, proms, prom_lens, max_steps,
         method=VALLEAR.prefix_forward,
     )
+    # static prefix CAPACITY (== prefix_forward's packed width); decode K/V
+    # slots start here for every row — see decode_one on why slots are
+    # batch-uniform rather than per-row prefix_len + step
+    prefix_cap = text.shape[1] + 1 + proms.shape[1] + 1
     r0, rng = jax.random.split(rng)
     tok0 = jax.random.categorical(r0, last / sampling_temperature, axis=-1)
     stop = model.n_tokens  # stop_token
 
-    def step(carry, step_rng):
+    def step(carry, inp):
+        step_i, step_rng = inp
         tok, pos, stopped, ck, cv = carry
         logits, ck, cv = model.apply(
-            variables, tok, pos, ck, cv, method=VALLEAR.decode_one
+            variables, tok, pos, step_i, prefix_cap, ck, cv,
+            method=VALLEAR.decode_one,
         )
         nxt = jax.random.categorical(
             step_rng, logits / sampling_temperature, axis=-1
@@ -394,7 +417,9 @@ def ar_generate(
 
     steps_rngs = jax.random.split(rng, max_steps - 1)
     carry = (tok0, prefix_len, jnp.zeros((b,), bool), ck, cv)
-    _, toks = jax.lax.scan(step, carry, steps_rngs)
+    _, toks = jax.lax.scan(
+        step, carry, (jnp.arange(max_steps - 1, dtype=jnp.int32), steps_rngs)
+    )
     toks_all = jnp.concatenate([tok0[:, None], jnp.moveaxis(toks, 0, 1)], axis=1)
     stop_mask = toks_all == stop
     any_stop = jnp.any(stop_mask, axis=1)
