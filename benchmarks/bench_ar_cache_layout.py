@@ -134,6 +134,31 @@ def run(b=32, layers=12, heads=16, dh=64, prefix=291, steps=256, dtype="bfloat16
             new.append((ck, cv))
         return (o_acc, new), ()
 
+    # ---- layout 2c: uniform slot, caches stored FOLDED [B, S, H*Dh] —
+    # a [.., H, Dh=64] minormost cache gets lane-padded 64->128 in TPU
+    # layout, physically DOUBLING the HBM bytes behind every KV read; a
+    # [.., H*Dh] minormost buffer is dense, and the head split happens in
+    # the fused operand read of the einsum
+    def uniform_fold_step(carry, i):
+        q, caches = carry
+        slot = prefix + i
+        new = []
+        o_acc = q
+        prefix_valid = jnp.arange(s_cap)[None, :] < plens[:, None]
+        for (ck, cv) in caches:  # [B, S, H*Dh]
+            kv = o_acc.reshape(b, 1, heads * dh)
+            ck = jax.lax.dynamic_update_slice(ck, kv, (0, slot, 0))
+            cv = jax.lax.dynamic_update_slice(cv, kv, (0, slot, 0))
+            dec_valid = (jnp.arange(s_cap)[None, :] >= prefix) & (
+                jnp.arange(s_cap)[None, :] <= slot
+            )
+            valid = prefix_valid | dec_valid
+            k4 = ck.reshape(b, s_cap, heads, dh)
+            v4 = cv.reshape(b, s_cap, heads, dh)
+            o_acc = attend(o_acc, k4, v4, valid)
+            new.append((ck, cv))
+        return (o_acc, new), ()
+
     # ---- layout 3: split caches — prefix constant, decode region in carry.
     # The prefix caches MUST enter via jit arguments, not closure: closed-over
     # arrays become HLO constants (457 MB here), which 413s the remote-compile
@@ -159,6 +184,51 @@ def run(b=32, layers=12, heads=16, dh=64, prefix=291, steps=256, dtype="bfloat16
             return (o_acc, new), ()
 
         return split_step
+
+    # ---- layout 0: attention ONLY — caches enter as jit args and are never
+    # written; isolates the pure KV read bandwidth of the attend pattern from
+    # whatever the scan carry costs (copy-on-update, double-buffering)
+    def attn_only_of(caches):
+        def attn_only_step(carry, i):
+            o_acc, _ = carry
+            valid = jnp.arange(s_cap)[None, :] <= (plens[:, None] + i)
+            for (ck, cv) in caches:
+                o_acc = attend(o_acc, ck, cv, valid)
+            return (o_acc, ()), ()
+
+        return attn_only_step
+
+    # ---- layout 3b: split WITHOUT concat — prefix caches via jit args
+    # (never copied), decode-region caches in the carry; the softmax merges
+    # the two regions' SCORES (tiny [B,H,S] concat) instead of materializing
+    # a concatenated [B,S,H,Dh] cache (which is what sank layout 3). The
+    # per-step carry copy shrinks from the full capacity to the decode
+    # region only.
+    def split2_of(prefix_caches):
+        def split2_step(carry, i):
+            q, dcaches = carry
+            new = []
+            o_acc = q
+            pvalid = jnp.arange(prefix)[None, :] < plens[:, None]
+            dvalid = jnp.broadcast_to(
+                jnp.arange(steps)[None, :] <= i, (b, steps)
+            )
+            for (pk, pv), (dk, dv) in zip(prefix_caches, dcaches):
+                kv = o_acc[:, None, :, :]
+                dk = jax.lax.dynamic_update_slice(dk, kv, (0, i, 0, 0))
+                dv = jax.lax.dynamic_update_slice(dv, kv, (0, i, 0, 0))
+                ep = jnp.einsum("bhd,bjhd->bhj", o_acc, pk) * scale
+                ep = jnp.where(pvalid[:, None, :], ep, -1e9)
+                ed = jnp.einsum("bhd,bjhd->bhj", o_acc, dk) * scale
+                ed = jnp.where(dvalid[:, None, :], ed, -1e9)
+                a = jax.nn.softmax(jnp.concatenate([ep, ed], axis=-1), axis=-1)
+                o_acc = jnp.einsum(
+                    "bhj,bjhd->bhd", a[..., :prefix], pv
+                ) + jnp.einsum("bhj,bjhd->bhd", a[..., prefix:], dv)
+                new.append((dk, dv))
+            return (o_acc, new), ()
+
+        return split2_step
 
     results = {}
 
@@ -189,16 +259,23 @@ def run(b=32, layers=12, heads=16, dh=64, prefix=291, steps=256, dtype="bfloat16
         return ms_per_step
 
     mono = mk_caches((b, s_cap, heads, dh))
+    bench("attn_only", attn_only_of, (q0, ()), mono)
     bench("scatter", lambda _: scatter_step, (q0, mono), ())
     bench("uniform", lambda _: uniform_step, (q0, mono), ())
     mono_bhsd = [(jnp.moveaxis(k, 1, 2), jnp.moveaxis(v, 1, 2)) for k, v in mono]
     bench("uni_bhsd", lambda _: uniform_bhsd_step, (q0, mono_bhsd), ())
+    mono_fold = [
+        (k.reshape(b, s_cap, heads * dh), v.reshape(b, s_cap, heads * dh))
+        for k, v in mono
+    ]
+    bench("uni_fold", lambda _: uniform_fold_step, (q0, mono_fold), ())
     pfx = mk_caches((b, prefix, heads, dh))
     dec = [
         (jnp.zeros((b, steps, heads, dh), dt), jnp.zeros((b, steps, heads, dh), dt))
         for _ in range(layers)
     ]
     bench("split", split_step_of, (q0, dec), pfx)
+    bench("split2", split2_of, (q0, dec), pfx)
 
     kv_bytes = b * s_cap * heads * dh * dt.itemsize * 2 * layers
     print(f"# KV read/step (monolithic): {kv_bytes / 1e6:.0f} MB "

@@ -300,10 +300,10 @@ class VALLEAR(VALLEBase):
         text_lens: jnp.ndarray,
         proms: jnp.ndarray,
         prom_lens: jnp.ndarray,
-        max_steps: int,
     ):
         """Run the [text | sep | prom | sep] prefix once, returning last-
-        position logits and KV caches padded to prefix+max_steps capacity."""
+        position logits and the prefix K/V caches ([B, Sp, H, Dh] — the
+        decode-region caches live in the AR scan carry, see decode_one)."""
         b, tx = text.shape
         tp = proms.shape[1]
         prefix_len = text_lens + prom_lens + 2
@@ -320,7 +320,6 @@ class VALLEAR(VALLEBase):
         x = self.sin_emb(x)
         m = sequence_mask(prefix_len, x.shape[1], x.dtype)[..., None]
 
-        s_total = x.shape[1] + max_steps
         caches_k, caches_v = [], []
         h = x
         for block in self.blocks:
@@ -328,9 +327,8 @@ class VALLEAR(VALLEBase):
             # per-layer to_qkv projection runs ONCE (it used to run again
             # inside block())
             h, k, v = block.prefill(h, m)
-            pad = s_total - k.shape[1]
-            caches_k.append(jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0))))
-            caches_v.append(jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0))))
+            caches_k.append(k)
+            caches_v.append(v)
         logits_prefix = self.classifier(h).astype(jnp.float32)
         idx = (prefix_len - 1)[:, None, None]
         last = jnp.take_along_axis(
@@ -338,18 +336,26 @@ class VALLEAR(VALLEBase):
         )[:, 0, :]
         return last, prefix_len, tuple(caches_k), tuple(caches_v)
 
-    def decode_one(self, tok, pos, step, prefix_cap, caches_k, caches_v):
+    def decode_one(
+        self, tok, pos, step, prefix_ck, prefix_cv, caches_k, caches_v
+    ):
         """One KV-cached AR step: token [B] at absolute positions [B] ->
-        (logits [B, V], updated caches).
+        (logits [B, V], updated decode-region caches).
 
         ``pos`` (= per-row prefix_len + step) feeds the sinusoidal PE —
-        positions stay per-row exact. The CACHE SLOT is decoupled from the
-        position: every row writes slot ``prefix_cap + step`` (uniform), so
-        the update is a dynamic_update_slice that XLA aliases in place
-        inside the scan carry, not a per-row scatter that forces a full
-        cache copy per step (1.5x on the cache+attention path, measured in
-        benchmarks/bench_ar_cache_layout.py). The unused gap between each
-        row's prefix_len and prefix_cap is masked out of the attention.
+        positions stay per-row exact. The CACHE layout is decoupled from
+        positions (benchmarks/bench_ar_cache_layout.py, v5e-1, B=32):
+        - prefix K/V (``prefix_ck/cv``) are scan INVARIANTS — never written
+          after prefill, so the scan never copies them;
+        - decode K/V (``caches_k/v``, [B, max_steps, H, Dh]) are the carry;
+          every row writes slot ``step`` (batch-uniform — a per-row slot
+          lowers to a scatter, which XLA will not alias in-place in the
+          carry, costing a full cache copy per step);
+        - attention merges the two regions in the softmax over concatenated
+          SCORES, not concatenated caches (a cache concat materializes the
+          full capacity every step and loses).
+        Together: 4.69 (per-row scatter) -> 2.45 ms/step (split+uniform) on
+        the cache+attention path; pure attention reads bound at 1.41.
         """
         e = jnp.take(
             self.resps_weight[0], jnp.clip(tok, 0, self.n_resp_tokens - 1), axis=0
@@ -358,15 +364,18 @@ class VALLEAR(VALLEBase):
             :, None, :
         ].astype(e.dtype)
         h = e
-        s_cap = caches_k[0].shape[1]
-        slot = prefix_cap + step
-        j = jnp.arange(s_cap)[None, :]
+        sp = prefix_ck[0].shape[1]
+        sd = caches_k[0].shape[1]
         prefix_len = pos - step  # invariant of the ar_generate scan carry
-        valid = (j < prefix_len[:, None]) | ((j >= prefix_cap) & (j <= slot))
+        pvalid = jnp.arange(sp)[None, :] < prefix_len[:, None]
+        dvalid = jnp.broadcast_to(
+            jnp.arange(sd)[None, :] <= step, (tok.shape[0], sd)
+        )
         new_ck, new_cv = [], []
         for i, block in enumerate(self.blocks):
             h, k_i, v_i = block.decode_step(
-                h, caches_k[i], caches_v[i], slot, valid
+                h, prefix_ck[i], prefix_cv[i], caches_k[i], caches_v[i],
+                step, pvalid, dvalid,
             )
             new_ck.append(k_i)
             new_cv.append(v_i)
@@ -389,23 +398,29 @@ def ar_generate(
     full-reforward-per-token loop). Pure function: jittable wholesale; the
     scan body calls ``model.apply`` (no flax-in-scan restriction)."""
     b = text.shape[0]
-    last, prefix_len, ck, cv = model.apply(
-        variables, text, text_lens, proms, prom_lens, max_steps,
+    last, prefix_len, pck, pcv = model.apply(
+        variables, text, text_lens, proms, prom_lens,
         method=VALLEAR.prefix_forward,
     )
-    # static prefix CAPACITY (== prefix_forward's packed width); decode K/V
-    # slots start here for every row — see decode_one on why slots are
-    # batch-uniform rather than per-row prefix_len + step
-    prefix_cap = text.shape[1] + 1 + proms.shape[1] + 1
     r0, rng = jax.random.split(rng)
     tok0 = jax.random.categorical(r0, last / sampling_temperature, axis=-1)
     stop = model.n_tokens  # stop_token
+    # decode-region caches: the ONLY cache buffers in the scan carry (the
+    # prefix caches are closed over -> scan invariants, never copied); every
+    # row writes slot `step` — see decode_one for the measured rationale
+    _, _, h, dh = pck[0].shape
+    dck = tuple(
+        jnp.zeros((b, max_steps, h, dh), pck[i].dtype) for i in range(len(pck))
+    )
+    dcv = tuple(
+        jnp.zeros((b, max_steps, h, dh), pcv[i].dtype) for i in range(len(pcv))
+    )
 
     def step(carry, inp):
         step_i, step_rng = inp
         tok, pos, stopped, ck, cv = carry
         logits, ck, cv = model.apply(
-            variables, tok, pos, step_i, prefix_cap, ck, cv,
+            variables, tok, pos, step_i, pck, pcv, ck, cv,
             method=VALLEAR.decode_one,
         )
         nxt = jax.random.categorical(
@@ -416,7 +431,7 @@ def ar_generate(
         return (nxt, pos + 1, stopped_now, ck, cv), nxt
 
     steps_rngs = jax.random.split(rng, max_steps - 1)
-    carry = (tok0, prefix_len, jnp.zeros((b,), bool), ck, cv)
+    carry = (tok0, prefix_len, jnp.zeros((b,), bool), dck, dcv)
     _, toks = jax.lax.scan(
         step, carry, (jnp.arange(max_steps - 1, dtype=jnp.int32), steps_rngs)
     )

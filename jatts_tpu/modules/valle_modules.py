@@ -131,36 +131,48 @@ class VALLEAttention(nn.Module):
         o = jnp.einsum("bhij,bjhd->bihd", a, v)
         return self.to_out(o.reshape(x.shape)) * m, k, v
 
-    def decode_step(self, x_t, cache_k, cache_v, slot, valid):
-        """Single-token causal step.
+    def decode_step(self, x_t, pk, pv, dk, dv, slot, pvalid, dvalid):
+        """Single-token causal step over SPLIT caches.
 
-        x_t: [B, 1, D]; cache_k/v: [B, S, H, Dh]; slot: scalar int — the
-        UNIFORM cache slot this step's K/V is written to (same for every
-        row); valid: [B, S] bool — which cache slots this step's query may
-        attend to. Returns (out [B, 1, D], new_k, new_v).
+        x_t: [B, 1, D]; pk/pv: [B, Sp, H, Dh] — the prefix K/V, computed
+        once by prefill and NEVER written again (a scan invariant, so it is
+        never copied); dk/dv: [B, Sd, H, Dh] — the decode-region caches
+        (the scan carry); slot: scalar int — the UNIFORM decode slot this
+        step's K/V is written to (same for every row); pvalid [B, Sp] /
+        dvalid [B, Sd]: which slots of each region this step's query may
+        attend to. Returns (out [B, 1, D], new_dk, new_dv).
 
-        The slot is deliberately batch-uniform: a per-row write position
-        (rows have different prefix lengths) lowers to a scatter, which XLA
-        does NOT alias in-place inside a scan carry — every step then pays a
-        full cache copy. Measured on v5e-1 (B=32, 12L/1024d, S=547,
-        benchmarks/bench_ar_cache_layout.py): per-row scatter 4.69 ms/step
-        vs uniform dynamic_update_slice 3.12 ms/step on the cache+attention
-        path alone. Rows' prefixes are padded to capacity instead and the
-        gap masked via ``valid``.
+        Two deliberate layout choices, both measured on v5e-1 (B=32,
+        12L/1024d, S=547, benchmarks/bench_ar_cache_layout.py):
+        - the write slot is batch-uniform: a per-row position (rows have
+          different prefix lengths) lowers to a scatter, which XLA does NOT
+          alias in-place inside a scan carry — every step then pays a full
+          cache copy (4.69 -> 3.12 ms/step on the cache+attention path);
+        - the caches are split and the softmax merges the two regions'
+          SCORES (a tiny [B,H,1,Sp+Sd] concat) instead of concatenating
+          the caches themselves: XLA copies the carry once per step even
+          for the aliasable uniform update, so keeping the immutable
+          prefix OUT of the carry shrinks that copy to the decode region
+          (3.12 -> 2.45 ms/step; pure attention reads bound at 1.41).
         """
-        b, s, h, dh = cache_k.shape
         q, k, v = jnp.split(self.to_qkv(x_t), 3, axis=-1)
         q = self._split(q)  # [B, 1, H, Dh]
         k = self._split(k)  # [B, 1, H, Dh]
         v = self._split(v)
-        cache_k = jax.lax.dynamic_update_slice(cache_k, k, (0, slot, 0, 0))
-        cache_v = jax.lax.dynamic_update_slice(cache_v, v, (0, slot, 0, 0))
+        dh = q.shape[-1]
+        sp = pk.shape[1]
+        dk = jax.lax.dynamic_update_slice(dk, k, (0, slot, 0, 0))
+        dv = jax.lax.dynamic_update_slice(dv, v, (0, slot, 0, 0))
         scale = dh**-0.5
-        e = jnp.einsum("bqhd,bjhd->bhqj", q, cache_k) * scale  # q==1
-        e = jnp.where(valid[:, None, None, :], e, _MASK_VAL)
-        a = nn.softmax(e, axis=-1)
-        o = jnp.einsum("bhqj,bjhd->bqhd", a, cache_v).reshape(x_t.shape)
-        return self.to_out(o), cache_k, cache_v
+        ep = jnp.einsum("bqhd,bjhd->bhqj", q, pk) * scale  # q==1
+        ep = jnp.where(pvalid[:, None, None, :], ep, _MASK_VAL)
+        ed = jnp.einsum("bqhd,bjhd->bhqj", q, dk) * scale
+        ed = jnp.where(dvalid[:, None, None, :], ed, _MASK_VAL)
+        a = nn.softmax(jnp.concatenate([ep, ed], axis=-1), axis=-1)
+        o = jnp.einsum("bhqj,bjhd->bqhd", a[..., :sp], pv) + jnp.einsum(
+            "bhqj,bjhd->bqhd", a[..., sp:], dv
+        )
+        return self.to_out(o.reshape(x_t.shape)), dk, dv
 
 
 class VALLEBlock(nn.Module):
@@ -225,11 +237,11 @@ class VALLEBlock(nn.Module):
         x = (x + h) * m
         return x, k, v
 
-    def decode_step(self, x_t, cache_k, cache_v, slot, valid):
+    def decode_step(self, x_t, pk, pv, dk, dv, slot, pvalid, dvalid):
         h = self._norm(self.norm_attn, x_t, None)
-        h, cache_k, cache_v = self.attn.decode_step(
-            h, cache_k, cache_v, slot, valid
+        h, dk, dv = self.attn.decode_step(
+            h, pk, pv, dk, dv, slot, pvalid, dvalid
         )
         x_t = x_t + h
         x_t = x_t + self._ffn(self._norm(self.norm_ffn, x_t, None), True)
-        return x_t, cache_k, cache_v
+        return x_t, dk, dv
