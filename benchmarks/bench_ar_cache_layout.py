@@ -258,6 +258,85 @@ def run(b=32, layers=12, heads=16, dh=64, prefix=291, steps=256, dtype="bfloat16
               f"({dt_s * 1e3:8.1f} ms / {steps} steps)", flush=True)
         return ms_per_step
 
+    # ---- layout 4: CHUNKED decode carry — trace-time-unrolled outer loop
+    # over chunks; each inner scan carries only a [B, chunk] cache and
+    # closes over the prefix + all COMPLETED chunks as invariants. Shrinks
+    # the per-step carry copy to the chunk AND reads only materialized
+    # regions (later chunks read more; early chunks read less).
+    def bench_chunked(pfx, chunk, n_timed=3):
+        n_chunks = steps // chunk
+
+        def full(q, pfx):
+            pvalid = jnp.arange(prefix)[None, :] < plens[:, None]
+            done = [[] for _ in range(layers)]  # [(k, v), ...] per layer
+
+            for _c in range(n_chunks):
+                dck = tuple(
+                    (jnp.zeros((b, chunk, heads, dh), dt),
+                     jnp.zeros((b, chunk, heads, dh), dt))
+                    for _ in range(layers)
+                )
+
+                def step(carry, i, done=tuple(tuple(d) for d in done)):
+                    o_acc, dc = carry
+                    dvalid = jnp.broadcast_to(
+                        jnp.arange(chunk)[None, :] <= i, (b, chunk)
+                    )
+                    new_dc = []
+                    for li in range(layers):
+                        pk, pv = pfx[li]
+                        dk, dv = dc[li]
+                        kv = o_acc[:, None, :, :]
+                        dk = jax.lax.dynamic_update_slice(dk, kv, (0, i, 0, 0))
+                        dv = jax.lax.dynamic_update_slice(dv, kv, (0, i, 0, 0))
+                        ep = jnp.einsum("bhd,bjhd->bhj", o_acc, pk) * scale
+                        es = [jnp.where(pvalid[:, None, :], ep, -1e9)]
+                        vs = [pv]
+                        for (fk, fv) in done[li]:
+                            es.append(
+                                jnp.einsum("bhd,bjhd->bhj", o_acc, fk) * scale
+                            )
+                            vs.append(fv)
+                        ed = jnp.einsum("bhd,bjhd->bhj", o_acc, dk) * scale
+                        es.append(jnp.where(dvalid[:, None, :], ed, -1e9))
+                        vs.append(dv)
+                        a = jax.nn.softmax(jnp.concatenate(es, axis=-1), axis=-1)
+                        o_new = jnp.zeros_like(o_acc)
+                        off = 0
+                        for blk_v in vs:
+                            w = blk_v.shape[1]
+                            o_new = o_new + jnp.einsum(
+                                "bhj,bjhd->bhd", a[..., off:off + w], blk_v
+                            )
+                            off += w
+                        o_acc = o_new
+                        new_dc.append((dk, dv))
+                    return (o_acc, tuple(new_dc)), ()
+
+                (q, dc_fin), _ = jax.lax.scan(
+                    step, (q, dck), jnp.arange(chunk, dtype=jnp.int32)
+                )
+                for li in range(layers):
+                    done[li].append(dc_fin[li])
+            return q
+
+        jfull = jax.jit(full)
+        out = jfull(q0, pfx)
+        float(out.sum())
+        for _ in range(2):
+            out = jfull(q0 + (out.sum() * 0).astype(dt), pfx)
+        float(out.sum())
+        t0 = time.perf_counter()
+        acc = out
+        for _ in range(n_timed):
+            acc = jfull(q0 + (acc.sum() * 0).astype(dt), pfx)
+        float(acc.sum())
+        dt_s = (time.perf_counter() - t0) / n_timed
+        ms_per_step = dt_s / steps * 1e3
+        results[f"chunk{chunk}"] = ms_per_step
+        print(f"chunk{chunk:<5d}: {ms_per_step:7.3f} ms/step "
+              f"({dt_s * 1e3:8.1f} ms / {steps} steps)", flush=True)
+
     mono = mk_caches((b, s_cap, heads, dh))
     bench("attn_only", attn_only_of, (q0, ()), mono)
     bench("scatter", lambda _: scatter_step, (q0, mono), ())
@@ -276,6 +355,8 @@ def run(b=32, layers=12, heads=16, dh=64, prefix=291, steps=256, dtype="bfloat16
     ]
     bench("split", split_step_of, (q0, dec), pfx)
     bench("split2", split2_of, (q0, dec), pfx)
+    bench_chunked(pfx, max(steps // 4, 1))
+    bench_chunked(pfx, max(steps // 8, 1))
 
     kv_bytes = b * s_cap * heads * dh * dt.itemsize * 2 * layers
     print(f"# KV read/step (monolithic): {kv_bytes / 1e6:.0f} MB "

@@ -337,25 +337,29 @@ class VALLEAR(VALLEBase):
         return last, prefix_len, tuple(caches_k), tuple(caches_v)
 
     def decode_one(
-        self, tok, pos, step, prefix_ck, prefix_cv, caches_k, caches_v
+        self, tok, pos, step, prefix_len,
+        prefix_ck, prefix_cv, done_k, done_v, caches_k, caches_v,
     ):
         """One KV-cached AR step: token [B] at absolute positions [B] ->
-        (logits [B, V], updated decode-region caches).
+        (logits [B, V], updated current-chunk caches).
 
-        ``pos`` (= per-row prefix_len + step) feeds the sinusoidal PE —
-        positions stay per-row exact. The CACHE layout is decoupled from
-        positions (benchmarks/bench_ar_cache_layout.py, v5e-1, B=32):
-        - prefix K/V (``prefix_ck/cv``) are scan INVARIANTS — never written
-          after prefill, so the scan never copies them;
-        - decode K/V (``caches_k/v``, [B, max_steps, H, Dh]) are the carry;
-          every row writes slot ``step`` (batch-uniform — a per-row slot
-          lowers to a scatter, which XLA will not alias in-place in the
-          carry, costing a full cache copy per step);
-        - attention merges the two regions in the softmax over concatenated
+        ``pos`` (= per-row prefix_len + global step) feeds the sinusoidal
+        PE — positions stay per-row exact. The CACHE layout is decoupled
+        from positions (benchmarks/bench_ar_cache_layout.py, v5e-1, B=32):
+        - prefix K/V (``prefix_ck/cv``) and COMPLETED decode chunks
+          (``done_k/v``: per-layer tuples of fully-written chunk caches)
+          are scan INVARIANTS — never written again, so the scan never
+          copies them;
+        - only the CURRENT chunk (``caches_k/v``, [B, chunk, H, Dh]) is
+          the carry; every row writes slot ``step`` (batch-uniform — a
+          per-row slot lowers to a scatter, which XLA will not alias
+          in-place in the carry, costing a full cache copy per step);
+        - attention merges all regions in the softmax over concatenated
           SCORES, not concatenated caches (a cache concat materializes the
           full capacity every step and loses).
-        Together: 4.69 (per-row scatter) -> 2.45 ms/step (split+uniform) on
-        the cache+attention path; pure attention reads bound at 1.41.
+        Together on the cache+attention path: 4.69 (per-row scatter) ->
+        2.45 (split+uniform) -> 1.71 ms/step (chunked carry); pure
+        attention reads bound at 1.41. See ar_generate for the chunk loop.
         """
         e = jnp.take(
             self.resps_weight[0], jnp.clip(tok, 0, self.n_resp_tokens - 1), axis=0
@@ -366,7 +370,6 @@ class VALLEAR(VALLEBase):
         h = e
         sp = prefix_ck[0].shape[1]
         sd = caches_k[0].shape[1]
-        prefix_len = pos - step  # invariant of the ar_generate scan carry
         pvalid = jnp.arange(sp)[None, :] < prefix_len[:, None]
         dvalid = jnp.broadcast_to(
             jnp.arange(sd)[None, :] <= step, (tok.shape[0], sd)
@@ -374,8 +377,9 @@ class VALLEAR(VALLEBase):
         new_ck, new_cv = [], []
         for i, block in enumerate(self.blocks):
             h, k_i, v_i = block.decode_step(
-                h, prefix_ck[i], prefix_cv[i], caches_k[i], caches_v[i],
-                step, pvalid, dvalid,
+                h, prefix_ck[i], prefix_cv[i],
+                tuple(zip(done_k[i], done_v[i])),
+                caches_k[i], caches_v[i], step, pvalid, dvalid,
             )
             new_ck.append(k_i)
             new_cv.append(v_i)
@@ -405,37 +409,68 @@ def ar_generate(
     r0, rng = jax.random.split(rng)
     tok0 = jax.random.categorical(r0, last / sampling_temperature, axis=-1)
     stop = model.n_tokens  # stop_token
-    # decode-region caches: the ONLY cache buffers in the scan carry (the
-    # prefix caches are closed over -> scan invariants, never copied); every
-    # row writes slot `step` — see decode_one for the measured rationale
+    # chunked decode caches: an unrolled outer loop over ~4 chunks; only the
+    # CURRENT chunk's K/V live in the scan carry (prefix caches + finished
+    # chunks are closed over -> scan invariants, never copied), and every
+    # row writes slot `step` within the chunk — see decode_one for the
+    # measured rationale (2.7x on the cache+attention path vs round 3)
     _, _, h, dh = pck[0].shape
-    dck = tuple(
-        jnp.zeros((b, max_steps, h, dh), pck[i].dtype) for i in range(len(pck))
-    )
-    dcv = tuple(
-        jnp.zeros((b, max_steps, h, dh), pcv[i].dtype) for i in range(len(pcv))
-    )
-
-    def step(carry, inp):
-        step_i, step_rng = inp
-        tok, pos, stopped, ck, cv = carry
-        logits, ck, cv = model.apply(
-            variables, tok, pos, step_i, pck, pcv, ck, cv,
-            method=VALLEAR.decode_one,
+    n_layers = len(pck)
+    t_total = max_steps - 1  # tok0 is sampled from the prefix logits
+    # chunking pays for the extra score-block bookkeeping only when the
+    # carry is large: B=32 9654->11417 tok/s, fused B=16 RTF 0.0204->0.0191,
+    # but B=4 4801->4434 — so small batches keep a single chunk
+    n_chunks = (4 if b >= 8 else 1) if t_total > 0 else 0
+    n_chunks = min(n_chunks, t_total) if t_total > 0 else 0
+    sizes = [
+        t_total // n_chunks + (1 if i < t_total % n_chunks else 0)
+        for i in range(n_chunks)
+    ]
+    all_rngs = jax.random.split(rng, max(t_total, 1))
+    done_k = tuple(() for _ in range(n_layers))
+    done_v = tuple(() for _ in range(n_layers))
+    carry3 = (tok0, prefix_len, jnp.zeros((b,), bool))
+    toks_parts = []
+    off = 0
+    for sz in sizes:
+        dck = tuple(
+            jnp.zeros((b, sz, h, dh), pck[i].dtype) for i in range(n_layers)
         )
-        nxt = jax.random.categorical(
-            step_rng, logits / sampling_temperature, axis=-1
+        dcv = tuple(
+            jnp.zeros((b, sz, h, dh), pcv[i].dtype) for i in range(n_layers)
         )
-        stopped_now = stopped | (tok == stop)
-        nxt = jnp.where(stopped_now, stop, nxt)
-        return (nxt, pos + 1, stopped_now, ck, cv), nxt
 
-    steps_rngs = jax.random.split(rng, max_steps - 1)
-    carry = (tok0, prefix_len, jnp.zeros((b,), bool), dck, dcv)
-    _, toks = jax.lax.scan(
-        step, carry, (jnp.arange(max_steps - 1, dtype=jnp.int32), steps_rngs)
-    )
-    toks_all = jnp.concatenate([tok0[:, None], jnp.moveaxis(toks, 0, 1)], axis=1)
+        def step(carry, inp, done_k=done_k, done_v=done_v):
+            step_i, step_rng = inp
+            tok, pos, stopped, ck, cv = carry
+            logits, ck, cv = model.apply(
+                variables, tok, pos, step_i, prefix_len, pck, pcv,
+                done_k, done_v, ck, cv, method=VALLEAR.decode_one,
+            )
+            nxt = jax.random.categorical(
+                step_rng, logits / sampling_temperature, axis=-1
+            )
+            stopped_now = stopped | (tok == stop)
+            nxt = jnp.where(stopped_now, stop, nxt)
+            return (nxt, pos + 1, stopped_now, ck, cv), nxt
+
+        carry = (*carry3, dck, dcv)
+        (tok_c, pos_c, stop_c, dck, dcv), toks_c = jax.lax.scan(
+            step, carry,
+            (jnp.arange(sz, dtype=jnp.int32), all_rngs[off:off + sz]),
+        )
+        carry3 = (tok_c, pos_c, stop_c)
+        done_k = tuple(done_k[i] + (dck[i],) for i in range(n_layers))
+        done_v = tuple(done_v[i] + (dcv[i],) for i in range(n_layers))
+        toks_parts.append(toks_c)
+        off += sz
+    if toks_parts:
+        toks = jnp.concatenate(toks_parts, axis=0)
+        toks_all = jnp.concatenate(
+            [tok0[:, None], jnp.moveaxis(toks, 0, 1)], axis=1
+        )
+    else:
+        toks_all = tok0[:, None]
     stop_mask = toks_all == stop
     any_stop = jnp.any(stop_mask, axis=1)
     first_stop = jnp.where(any_stop, jnp.argmax(stop_mask, axis=1), max_steps)

@@ -131,47 +131,63 @@ class VALLEAttention(nn.Module):
         o = jnp.einsum("bhij,bjhd->bihd", a, v)
         return self.to_out(o.reshape(x.shape)) * m, k, v
 
-    def decode_step(self, x_t, pk, pv, dk, dv, slot, pvalid, dvalid):
-        """Single-token causal step over SPLIT caches.
+    def decode_step(self, x_t, pk, pv, done, dk, dv, slot, pvalid, dvalid):
+        """Single-token causal step over SPLIT, CHUNKED caches.
 
         x_t: [B, 1, D]; pk/pv: [B, Sp, H, Dh] — the prefix K/V, computed
         once by prefill and NEVER written again (a scan invariant, so it is
-        never copied); dk/dv: [B, Sd, H, Dh] — the decode-region caches
-        (the scan carry); slot: scalar int — the UNIFORM decode slot this
-        step's K/V is written to (same for every row); pvalid [B, Sp] /
-        dvalid [B, Sd]: which slots of each region this step's query may
-        attend to. Returns (out [B, 1, D], new_dk, new_dv).
+        never copied); done: tuple of (k, v) pairs — COMPLETED decode
+        chunks, every slot written, also scan invariants; dk/dv:
+        [B, Sd, H, Dh] — the CURRENT decode chunk (the scan carry); slot:
+        scalar int — the UNIFORM slot in the current chunk this step's K/V
+        is written to (same for every row); pvalid [B, Sp] / dvalid
+        [B, Sd]: which slots of prefix / current chunk this step's query
+        may attend to (completed chunks are fully attendable). Returns
+        (out [B, 1, D], new_dk, new_dv).
 
-        Two deliberate layout choices, both measured on v5e-1 (B=32,
+        Three deliberate layout choices, all measured on v5e-1 (B=32,
         12L/1024d, S=547, benchmarks/bench_ar_cache_layout.py):
         - the write slot is batch-uniform: a per-row position (rows have
           different prefix lengths) lowers to a scatter, which XLA does NOT
-          alias in-place inside a scan carry — every step then pays a full
-          cache copy (4.69 -> 3.12 ms/step on the cache+attention path);
-        - the caches are split and the softmax merges the two regions'
-          SCORES (a tiny [B,H,1,Sp+Sd] concat) instead of concatenating
-          the caches themselves: XLA copies the carry once per step even
-          for the aliasable uniform update, so keeping the immutable
-          prefix OUT of the carry shrinks that copy to the decode region
-          (3.12 -> 2.45 ms/step; pure attention reads bound at 1.41).
+          alias in-place inside a scan carry — every step then pays ~two
+          full cache copies (4.69 -> 3.12 ms/step on the cache+attention
+          path);
+        - the caches are split and the softmax merges the regions'
+          SCORES (a tiny [B,H,1,S] concat) instead of concatenating the
+          caches themselves: XLA copies the carry once per step even for
+          the aliasable uniform update, so keeping the immutable prefix
+          OUT of the carry shrinks that copy to the decode region
+          (3.12 -> 2.45 ms/step);
+        - the decode region itself is chunked (ar_generate unrolls an
+          outer loop over chunks; finished chunks leave the carry and
+          become invariants), shrinking the per-step carry copy to one
+          chunk and skipping reads of unmaterialized slots
+          (2.45 -> 1.71 ms/step; pure attention reads bound at 1.41).
         """
         q, k, v = jnp.split(self.to_qkv(x_t), 3, axis=-1)
         q = self._split(q)  # [B, 1, H, Dh]
         k = self._split(k)  # [B, 1, H, Dh]
         v = self._split(v)
         dh = q.shape[-1]
-        sp = pk.shape[1]
         dk = jax.lax.dynamic_update_slice(dk, k, (0, slot, 0, 0))
         dv = jax.lax.dynamic_update_slice(dv, v, (0, slot, 0, 0))
         scale = dh**-0.5
         ep = jnp.einsum("bqhd,bjhd->bhqj", q, pk) * scale  # q==1
-        ep = jnp.where(pvalid[:, None, None, :], ep, _MASK_VAL)
+        es = [jnp.where(pvalid[:, None, None, :], ep, _MASK_VAL)]
+        vs = [pv]
+        for fk, fv in done:  # completed chunks: every slot valid
+            es.append(jnp.einsum("bqhd,bjhd->bhqj", q, fk) * scale)
+            vs.append(fv)
         ed = jnp.einsum("bqhd,bjhd->bhqj", q, dk) * scale
-        ed = jnp.where(dvalid[:, None, None, :], ed, _MASK_VAL)
-        a = nn.softmax(jnp.concatenate([ep, ed], axis=-1), axis=-1)
-        o = jnp.einsum("bhqj,bjhd->bqhd", a[..., :sp], pv) + jnp.einsum(
-            "bhqj,bjhd->bqhd", a[..., sp:], dv
-        )
+        es.append(jnp.where(dvalid[:, None, None, :], ed, _MASK_VAL))
+        vs.append(dv)
+        a = nn.softmax(jnp.concatenate(es, axis=-1), axis=-1)
+        o = jnp.zeros_like(q)
+        off = 0
+        for blk_v in vs:
+            w = blk_v.shape[1]
+            o = o + jnp.einsum("bhqj,bjhd->bqhd", a[..., off:off + w], blk_v)
+            off += w
         return self.to_out(o.reshape(x_t.shape)), dk, dv
 
 
@@ -237,10 +253,10 @@ class VALLEBlock(nn.Module):
         x = (x + h) * m
         return x, k, v
 
-    def decode_step(self, x_t, pk, pv, dk, dv, slot, pvalid, dvalid):
+    def decode_step(self, x_t, pk, pv, done, dk, dv, slot, pvalid, dvalid):
         h = self._norm(self.norm_attn, x_t, None)
         h, dk, dv = self.attn.decode_step(
-            h, pk, pv, dk, dv, slot, pvalid, dvalid
+            h, pk, pv, done, dk, dv, slot, pvalid, dvalid
         )
         x_t = x_t + h
         x_t = x_t + self._ffn(self._norm(self.norm_ffn, x_t, None), True)

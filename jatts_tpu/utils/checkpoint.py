@@ -40,7 +40,14 @@ def _checkpointer():
             ocp.StandardCheckpointHandler(multiprocessing_options=opts),
             multiprocessing_options=opts,
         )
-    return ocp.StandardCheckpointer()
+    # single process: a SYNCHRONOUS checkpointer. StandardCheckpointer is an
+    # AsyncCheckpointer whose finalize (ArrayMetadata validation + tmp-dir
+    # rename) runs on a background thread behind a barrier_sync_fn and a
+    # thread-pool executor — observed to stall INDEFINITELY (intermittently,
+    # under CPU contention) after "Handler Commit operations completed",
+    # leaving only the .orbax-checkpoint-tmp dir. save_checkpoint blocks on
+    # wait_until_finished immediately anyway, so async buys nothing here.
+    return ocp.Checkpointer(ocp.StandardCheckpointHandler())
 
 
 _SAVE_SEQ = [0]  # cross-call barrier id; all ranks save in lockstep
@@ -83,11 +90,8 @@ def restore_checkpoint(path: str, template: Optional[Dict[str, Any]] = None) -> 
     path = os.path.abspath(path)  # orbax rejects relative paths
     ckptr = _checkpointer()
     if template is not None:
-        if isinstance(ckptr, ocp.StandardCheckpointer):
-            return ckptr.restore(path, target=template)
-        # the multi-process single-member pool is a plain Checkpointer whose
-        # restore(**kwargs) forwards into StandardRestoreArgs — no `target`
-        # sugar there, the template goes through the args API
+        # plain Checkpointer has no `target=` sugar (that is
+        # StandardCheckpointer-only); the template goes through the args API
         return ckptr.restore(path, args=ocp.args.StandardRestore(template))
     return ckptr.restore(path)
 
