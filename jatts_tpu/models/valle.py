@@ -397,10 +397,15 @@ def ar_generate(
     prom_lens: jnp.ndarray,
     max_steps: int = 1000,
     sampling_temperature: float = 1.0,
+    n_chunks: Optional[int] = None,
 ) -> Dict[str, jnp.ndarray]:
     """KV-cached AR decode loop (replaces reference valle_ar.py:77-101's
     full-reforward-per-token loop). Pure function: jittable wholesale; the
-    scan body calls ``model.apply`` (no flax-in-scan restriction)."""
+    scan body calls ``model.apply`` (no flax-in-scan restriction).
+
+    ``n_chunks`` overrides the batch-size heuristic for the decode-cache
+    chunking (see decode_one); chunking is sampling-EXACT — any value
+    produces bit-identical tokens (tests/test_valle_chunked_decode.py)."""
     b = text.shape[0]
     last, prefix_len, pck, pcv = model.apply(
         variables, text, text_lens, proms, prom_lens,
@@ -420,7 +425,8 @@ def ar_generate(
     # chunking pays for the extra score-block bookkeeping only when the
     # carry is large: B=32 9654->11417 tok/s, fused B=16 RTF 0.0204->0.0191,
     # but B=4 4801->4434 — so small batches keep a single chunk
-    n_chunks = (4 if b >= 8 else 1) if t_total > 0 else 0
+    if n_chunks is None:
+        n_chunks = 4 if b >= 8 else 1
     n_chunks = min(n_chunks, t_total) if t_total > 0 else 0
     sizes = [
         t_total // n_chunks + (1 if i < t_total % n_chunks else 0)
