@@ -72,9 +72,15 @@ def main():
         help="comma-separated jax.export lowering platforms",
     )
     parser.add_argument(
-        "--vocoder", default="auto", choices=["auto", "none"],
+        "--vocoder", default="auto", choices=["auto", "none", "stream"],
         help="'auto' bakes the config-declared HiFi-GAN in (text->wav "
-        "artifact) when its checkpoint exists; 'none' exports mel only",
+        "artifact) when its checkpoint exists; 'none' exports mel only; "
+        "'stream' exports mel + a chunked-vocoder program for low "
+        "time-to-first-audio serving (BatchingServer.submit_stream)",
+    )
+    parser.add_argument(
+        "--stream-chunk", type=int, default=128,
+        help="mel frames per streamed audio chunk (--vocoder stream)",
     )
     parser.add_argument(
         "--wav-format", default="pcm16", choices=["pcm16", "f32"],
@@ -135,13 +141,25 @@ def main():
 
     vocoder = None
     voc_cfg = config.get("vocoder") or {}
-    if args.vocoder == "auto" and voc_cfg.get("checkpoint") \
+    if args.vocoder in ("auto", "stream") and voc_cfg.get("checkpoint") \
             and _os.path.exists(voc_cfg["checkpoint"]):
         from jatts_tpu.vocoder import Vocoder
 
         vocoder = Vocoder(
             voc_cfg["checkpoint"], voc_cfg["config"], voc_cfg.get("stats")
         )
+    stream = None
+    if args.vocoder == "stream":
+        if vocoder is None:
+            raise SystemExit("--vocoder stream needs the config-declared "
+                             "vocoder checkpoint on disk")
+        from jatts_tpu.serving.export import build_stream_step_fn
+
+        stream = build_stream_step_fn(
+            vocoder, args.max_frames, int(config.get("num_mels", 80)),
+            chunk=args.stream_chunk,
+        )
+        vocoder = None  # the mel program stays vocoder-free
 
     spk_dim = int(model_params.get("spk_embed_dim") or 0)
     fn, weights = build_infer_fn(

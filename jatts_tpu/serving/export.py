@@ -45,8 +45,10 @@ from typing import Any, Dict, Optional, Sequence
 import numpy as np
 
 
-def _weights_entries(weights) -> tuple[Dict[str, np.ndarray], Dict[str, str]]:
-    """Flatten a weights pytree into npz-storable ``w/<path>`` arrays.
+def _weights_entries(
+    weights, prefix: str = "w"
+) -> tuple[Dict[str, np.ndarray], Dict[str, str]]:
+    """Flatten a weights pytree into npz-storable ``<prefix>/<path>`` arrays.
 
     bf16 (ml_dtypes) leaves don't survive np.savez dtype round trips —
     stored as uint16 views with their true dtype recorded in the returned
@@ -61,27 +63,31 @@ def _weights_entries(weights) -> tuple[Dict[str, np.ndarray], Dict[str, str]]:
         if arr.dtype.kind == "V" or arr.dtype.name == "bfloat16":
             dtypes[k] = "bfloat16"
             arr = arr.view(np.uint16)
-        entries[f"w/{k}"] = arr
+        entries[f"{prefix}/{k}"] = arr
     return entries, dtypes
 
 
-def _weights_from_npz(z, meta) -> Optional[Dict[str, Any]]:
-    if not meta.get("weights_as_args"):
+def _weights_from_npz(
+    z, meta, prefix: str = "w", dtype_key: str = "weight_dtypes"
+) -> Optional[Dict[str, Any]]:
+    if prefix == "w" and not meta.get("weights_as_args"):
         return None
     from flax import traverse_util
 
-    dtypes = meta.get("weight_dtypes", {})
+    dtypes = meta.get(dtype_key, {})
     flat = {}
     for key in z.files:
-        if not key.startswith("w/"):
+        if not key.startswith(prefix + "/"):
             continue
-        path = key[2:]
+        path = key[len(prefix) + 1:]
         arr = z[key]
         if dtypes.get(path) == "bfloat16":
             import ml_dtypes
 
             arr = arr.view(ml_dtypes.bfloat16)
         flat[path] = arr
+    if not flat:
+        return None
     return traverse_util.unflatten_dict(flat, sep="/")
 
 
@@ -173,6 +179,75 @@ def build_infer_fn(
     if use_spembs:
         return fn, weights
     return (lambda w, xs, ilens, seed: fn(w, xs, ilens, seed, None)), weights
+
+
+def build_stream_step_fn(
+    vocoder,
+    max_frames: int,
+    num_mels: int,
+    chunk: int = 128,
+    context: Optional[int] = None,
+):
+    """Streaming companion to a MEL bundle: one exported program that turns
+    chunk ``k`` of the mel into pcm16 audio in a single dispatch.
+
+    ``fn(vweights, mel, k) -> int16 [B, chunk*hop]`` where ``mel`` is the mel
+    program's full [B, max_frames, num_mels] DEnormalized output (kept on
+    device between calls) and ``k`` is the chunk index. The window extends
+    ``context`` mel frames (default: the generator's receptive field,
+    vocoder/streaming.py) past the chunk on each side, clamped to the true
+    mel boundaries so edge chunks match the full-utterance program exactly —
+    chunk concatenation is sample-identical to a wav-baked bundle's output.
+
+    Why per-chunk dispatch instead of slicing host-side: each host round trip
+    costs O(100 ms) through a dispatch tunnel; baking the dynamic window
+    slice into the program makes a streamed utterance cost
+    1 (mel) + n_chunks dispatches with the first audio on the host after
+    just two.
+
+    Returns ``(fn, vweights, stream_meta)`` for ``export_bundle(stream=...)``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from jatts_tpu.vocoder.streaming import hop_size, min_context_frames
+
+    voc_model = vocoder.model
+    if context is None:
+        context = min_context_frames(voc_model)
+    hop = hop_size(voc_model)
+    if max_frames % chunk:
+        raise ValueError(f"max_frames {max_frames} not a multiple of chunk {chunk}")
+    if chunk < context:
+        raise ValueError(f"chunk {chunk} < vocoder receptive field {context}")
+    window = min(max_frames, chunk + 2 * context)
+
+    weights: Dict[str, Any] = {"voc": vocoder.variables}
+    if vocoder.mean is not None:
+        weights["voc_mean"] = jnp.asarray(vocoder.mean, jnp.float32)
+        weights["voc_scale"] = jnp.asarray(vocoder.scale, jnp.float32)
+
+    def fn(w, mel, k):
+        v = mel
+        if "voc_mean" in w:
+            v = (v - w["voc_mean"]) / w["voc_scale"]
+        s = (k * chunk).astype(jnp.int32)
+        start = jnp.clip(s - context, 0, max_frames - window)
+        win = jax.lax.dynamic_slice_in_dim(v, start, window, axis=1)
+        wav = voc_model.apply(w["voc"], win)[..., 0]
+        crop = jax.lax.dynamic_slice_in_dim(
+            wav, (s - start) * hop, chunk * hop, axis=1
+        )
+        return jnp.round(jnp.clip(crop, -1.0, 1.0) * 32767.0).astype(jnp.int16)
+
+    stream_meta = {
+        "chunk": int(chunk),
+        "context": int(context),
+        "hop": int(hop),
+        "max_frames": int(max_frames),
+        "num_mels": int(num_mels),
+    }
+    return fn, weights, stream_meta
 
 
 def build_e2tts_fn(
@@ -513,7 +588,14 @@ def load_bundle(path: str) -> "ServingBundle | ValleServingBundle":
         return ValleServingBundle(meta, fns, weights)
     if meta.get("family") == "E2TTS":
         return E2ttsServingBundle(meta, fns, weights)
-    return ServingBundle(meta, fns, weights)
+    stream = None
+    if meta.get("streaming"):
+        stream = (
+            jexport.deserialize(bytes(z["stream_step"])),
+            _weights_from_npz(z, meta, prefix="sw",
+                              dtype_key="stream_weight_dtypes"),
+        )
+    return ServingBundle(meta, fns, weights, stream)
 
 
 def export_bundle(
@@ -525,13 +607,17 @@ def export_bundle(
     spk_dim: int = 0,
     platforms: Sequence[str] = ("tpu", "cpu"),
     weights=None,
+    stream=None,
 ) -> str:
     """Export ``fn`` once per text-length bucket and write the .npz bundle.
 
     ``platforms`` lowers a single artifact servable on any listed backend
     (jax.export multi-platform lowering needs no attached device).
     ``weights``: the pytree returned by build_infer_fn — stored ONCE in the
-    artifact and passed as the program's first argument."""
+    artifact and passed as the program's first argument.
+    ``stream``: optional ``(fn, vweights, stream_meta)`` from
+    build_stream_step_fn — adds a chunked-vocoder program to a MEL bundle so
+    the loaded bundle supports ``synthesize_streaming`` (low TTFA)."""
     import jax
     from jax import export as jexport
 
@@ -540,6 +626,23 @@ def export_bundle(
     if weights is not None:
         w_entries, w_dtypes = _weights_entries(weights)
         entries.update(w_entries)
+    stream_meta: Dict[str, Any] = {}
+    sw_dtypes: Dict[str, str] = {}
+    if stream is not None:
+        s_fn, s_weights, stream_meta = stream
+        sw_entries, sw_dtypes = _weights_entries(s_weights, prefix="sw")
+        entries.update(sw_entries)
+        s_args = [
+            _weights_struct(s_weights),
+            jax.ShapeDtypeStruct(
+                (batch_size, stream_meta["max_frames"],
+                 stream_meta["num_mels"]),
+                np.float32,
+            ),
+            jax.ShapeDtypeStruct((), np.uint32),
+        ]
+        exp = jexport.export(jax.jit(s_fn), platforms=list(platforms))(*s_args)
+        entries["stream_step"] = np.frombuffer(exp.serialize(), np.uint8)
     for t in text_buckets:
         args = [
             jax.ShapeDtypeStruct((batch_size, int(t)), np.int32),
@@ -561,6 +664,8 @@ def export_bundle(
         platforms=list(platforms),
         weights_as_args=weights is not None,
         weight_dtypes=w_dtypes,
+        streaming=stream_meta or None,
+        stream_weight_dtypes=sw_dtypes,
     )
     entries["__meta__"] = np.frombuffer(
         json.dumps(meta).encode("utf-8"), np.uint8
@@ -576,13 +681,18 @@ class ServingBundle:
     """Loaded serving artifact: picks the smallest fitting bucket, pads,
     executes the deserialized program, crops by olens."""
 
-    def __init__(self, meta: Dict[str, Any], fns: Dict[int, Any], weights=None):
+    def __init__(self, meta: Dict[str, Any], fns: Dict[int, Any], weights=None,
+                 stream=None):
         self.meta = meta
         self.fns = fns  # bucket -> deserialized Exported
         self.batch_size = int(meta["batch_size"])
         self.buckets = sorted(int(t) for t in meta["text_buckets"])
         self.spk_dim = int(meta.get("spk_dim", 0))
         self.weights = _device_weights(weights)
+        self.stream_fn, self.stream_weights = (None, None)
+        if stream is not None:
+            self.stream_fn = stream[0]
+            self.stream_weights = _device_weights(stream[1])
 
     def synthesize(
         self,
@@ -592,6 +702,27 @@ class ServingBundle:
     ):
         """token_ids: <= batch_size sequences -> list of per-utterance dicts
         (mel [T_i, n_mels] cropped to olens; wav [T_i*hop] when present)."""
+        args, bucket, n = self._prep_args(token_ids, seed, spembs)
+        out = self.fns[bucket].call(*args)
+        # fetch each output ONCE and slice on the host: np.asarray on a
+        # per-row device slice is a separate device->host transfer, and the
+        # fixed per-transfer latency (O(100 ms) through a dispatch tunnel)
+        # times 2 outputs x batch rows dominated serving latency
+        olens = np.asarray(out["olens"])
+        hop = int(self.meta.get("hop_size", 0))
+        mel = np.asarray(out["mel"]) if "mel" in out else None
+        wav = np.asarray(out["wav"]) if "wav" in out else None
+        results = []
+        for i in range(n):
+            r = {}
+            if mel is not None:
+                r["mel"] = mel[i, : olens[i]]
+            if wav is not None:
+                r["wav"] = wav[i, : olens[i] * hop]
+            results.append(r)
+        return results
+
+    def _prep_args(self, token_ids, seed, spembs):
         n = len(token_ids)
         if n > self.batch_size:
             raise ValueError(f"batch {n} > exported batch {self.batch_size}")
@@ -615,21 +746,49 @@ class ServingBundle:
             args.append(se)
         if self.weights is not None:
             args = [self.weights] + args
+        return args, bucket, n
+
+    def synthesize_streaming(self, token_ids, seed: int = 0,
+                             spembs: Optional[np.ndarray] = None):
+        """Chunked synthesis: yields audio left-to-right as it is computed.
+
+        Requires a bundle exported with ``stream=`` (a mel bundle plus the
+        chunked-vocoder program, build_stream_step_fn). The mel program runs
+        once; its output STAYS ON DEVICE and each yielded item costs exactly
+        one window dispatch + one host fetch — the first playable chunk
+        arrives after two dispatches instead of after the full waveform.
+
+        Yields, per chunk k, a list over the n requests of dicts:
+            wav           int16 [<= chunk*hop], cropped to the row's true
+                          remaining samples (empty once the row is finished)
+            start_sample  absolute sample offset of this chunk
+        Concatenating a row's chunks equals the wav a pcm16 wav-baked bundle
+        of the same model+vocoder would return (pinned by
+        tests/test_serving_streaming.py). Rows finish at different lengths;
+        iteration stops after the longest row's last chunk."""
+        if self.stream_fn is None:
+            raise ValueError("bundle was exported without stream= support")
+        st = self.meta["streaming"]
+        chunk, hop = int(st["chunk"]), int(st["hop"])
+        args, bucket, n = self._prep_args(token_ids, seed, spembs)
         out = self.fns[bucket].call(*args)
-        # fetch each output ONCE and slice on the host: np.asarray on a
-        # per-row device slice is a separate device->host transfer, and the
-        # fixed per-transfer latency (O(100 ms) through a dispatch tunnel)
-        # times 2 outputs x batch rows dominated serving latency
-        olens = np.asarray(out["olens"])
-        hop = int(self.meta.get("hop_size", 0))
-        mel = np.asarray(out["mel"]) if "mel" in out else None
-        wav = np.asarray(out["wav"]) if "wav" in out else None
-        results = []
-        for i in range(n):
-            r = {}
-            if mel is not None:
-                r["mel"] = mel[i, : olens[i]]
-            if wav is not None:
-                r["wav"] = wav[i, : olens[i] * hop]
-            results.append(r)
-        return results
+        if "mel" not in out:
+            raise ValueError("streaming needs a mel bundle (no baked vocoder)")
+        olens = np.asarray(out["olens"])  # host fetch; mel stays on device
+        mel = out["mel"]
+        n_chunks = max(1, -(-int(olens[:n].max()) // chunk))
+        s_args = [mel, None]
+        if self.stream_weights is not None:
+            s_args = [self.stream_weights] + s_args
+        for k in range(n_chunks):
+            s_args[-1] = np.uint32(k)
+            wav = np.asarray(self.stream_fn.call(*s_args))
+            s = k * chunk
+            results = []
+            for i in range(n):
+                hi = min(int(olens[i]), s + chunk) * hop
+                results.append({
+                    "wav": wav[i, : max(0, hi - s * hop)],
+                    "start_sample": s * hop,
+                })
+            yield results

@@ -41,12 +41,35 @@ from jatts_tpu.serving.export import (
 
 
 class _Request:
-    __slots__ = ("fields", "seed", "future")
+    __slots__ = ("fields", "seed", "future", "chunks")
 
-    def __init__(self, fields: Dict[str, Any], seed: int):
+    def __init__(self, fields: Dict[str, Any], seed: int, stream: bool = False):
         self.fields = fields
         self.seed = int(seed)
         self.future: Future = Future()
+        # streaming requests get a chunk queue instead of a single result
+        self.chunks: Optional["Queue"] = Queue() if stream else None
+
+
+class StreamHandle:
+    """Iterator over one streamed utterance's audio chunks.
+
+    Yields dicts ``{"wav": int16 [<=chunk*hop], "start_sample": int}`` in
+    order as the dispatcher produces them; raises if the batch failed. The
+    first chunk is available while later chunks are still computing."""
+
+    def __init__(self, req: _Request):
+        self._req = req
+
+    def __iter__(self):
+        while True:
+            kind, payload = self._req.chunks.get()
+            if kind == "err":
+                raise payload
+            if kind == "end":
+                return
+            if len(payload["wav"]):  # finished rows emit empty tails
+                yield payload
 
 
 class BatchingServer:
@@ -103,6 +126,28 @@ class BatchingServer:
         self._queue.put(req)
         return req.future
 
+    def submit_stream(self, seed: int = 0, **fields) -> StreamHandle:
+        """Enqueue one utterance for CHUNKED synthesis; returns an iterator
+        of audio chunks (see StreamHandle). Requires a mel bundle exported
+        with stream= support (export.build_stream_step_fn). Streaming and
+        non-streaming requests never share a program group."""
+        if self._closed:
+            raise RuntimeError("server is closed")
+        if getattr(self.bundle, "stream_fn", None) is None:
+            raise ValueError("bundle was exported without stream= support")
+        missing = [k for k in self._required if k not in fields]
+        if missing:
+            raise TypeError(f"missing request fields: {missing}")
+        longest = self.bundle.buckets[-1]
+        if len(fields["token_ids"]) > longest:
+            raise ValueError(
+                f"text length {len(fields['token_ids'])} exceeds largest "
+                f"bucket {longest}"
+            )
+        req = _Request(fields, seed, stream=True)
+        self._queue.put(req)
+        return StreamHandle(req)
+
     def synthesize(self, seed: int = 0, **fields):
         """Blocking convenience wrapper around submit()."""
         return self.submit(seed=seed, **fields).result()
@@ -145,11 +190,19 @@ class BatchingServer:
                     stop = True
                     break
                 self._pending.append(item)
-            # same-seed group (scalar program input); the rest stay pending
-            seed = self._pending[0].seed
-            batch = [r for r in self._pending if r.seed == seed][: self.batch_size]
+            # same-seed, same-mode group (the seed is a scalar program input;
+            # streamed and non-streamed requests run different call paths)
+            head = self._pending[0]
+            seed, stream = head.seed, head.chunks is not None
+            batch = [
+                r for r in self._pending
+                if r.seed == seed and (r.chunks is not None) == stream
+            ][: self.batch_size]
             self._pending = [r for r in self._pending if r not in batch]
-            self._dispatch(batch, seed)
+            if stream:
+                self._dispatch_stream(batch, seed)
+            else:
+                self._dispatch(batch, seed)
         # report shutdown to anything still queued (submit raced close)
         while True:
             try:
@@ -190,3 +243,34 @@ class BatchingServer:
         for r, res in zip(batch, results):
             if not r.future.cancelled():
                 r.future.set_result(res)
+
+    def _dispatch_stream(self, batch: List[_Request], seed: int):
+        """One mel program + one window program per chunk; every request's
+        queue receives its row of each chunk as soon as the chunk's fetch
+        lands (so caller k can play chunk 0 while chunk 1 computes)."""
+        self.stats["batches"] += 1
+        self.stats["rows"] += self.batch_size
+        self.stats["requests"] += len(batch)
+        try:
+            token_ids = [r.fields["token_ids"] for r in batch]
+            kwargs: Dict[str, Any] = {"seed": seed}
+            if any("spemb" in r.fields for r in batch):
+                import numpy as np
+
+                kwargs["spembs"] = np.stack(
+                    [
+                        np.asarray(r.fields["spemb"], np.float32)
+                        if "spemb" in r.fields
+                        else np.zeros((self.bundle.spk_dim,), np.float32)
+                        for r in batch
+                    ]
+                )
+            for rows in self.bundle.synthesize_streaming(token_ids, **kwargs):
+                for r, row in zip(batch, rows):
+                    r.chunks.put(("chunk", row))
+        except Exception as e:  # propagate to every caller in the group
+            for r in batch:
+                r.chunks.put(("err", e))
+            return
+        for r in batch:
+            r.chunks.put(("end", None))
