@@ -56,12 +56,17 @@ def _enable_compile_cache():
 
 
 def _build_bundle(workdir: str, tiny: bool, batch_size: int,
-                  with_vocoder: bool = True):
+                  with_vocoder: bool = True, stream_chunk: int = 0):
     import jax
     import jax.numpy as jnp
 
     from jatts_tpu.models.fastspeech2 import FastSpeech2
-    from jatts_tpu.serving.export import build_infer_fn, export_bundle, load_bundle
+    from jatts_tpu.serving.export import (
+        build_infer_fn,
+        build_stream_step_fn,
+        export_bundle,
+        load_bundle,
+    )
 
     if tiny:
         num_mels, max_frames, bucket = 8, 64, 16
@@ -72,7 +77,8 @@ def _build_bundle(workdir: str, tiny: bool, batch_size: int,
             pitch_predictor_layers=2, energy_predictor_chans=8,
             conformer_enc_kernel_size=7, conformer_dec_kernel_size=7,
         )
-        vocoder = None
+        vocoder = _random_vocoder(batch_size, max_frames, num_mels, tiny=True) \
+            if stream_chunk else None
     else:
         num_mels, max_frames, bucket = 80, 1024, 128
         model = FastSpeech2(idim=64, dtype=jnp.bfloat16)  # full-JSUT size
@@ -82,7 +88,7 @@ def _build_bundle(workdir: str, tiny: bool, batch_size: int,
         # --no-vocoder benches the text->mel artifact instead
         vocoder = (
             _random_vocoder(batch_size, max_frames, num_mels)
-            if with_vocoder else None
+            if (with_vocoder or stream_chunk) else None
         )
 
     config = {"model_type": "FastSpeech2", "num_mels": num_mels,
