@@ -77,8 +77,8 @@ def _build_bundle(workdir: str, tiny: bool, batch_size: int,
             pitch_predictor_layers=2, energy_predictor_chans=8,
             conformer_enc_kernel_size=7, conformer_dec_kernel_size=7,
         )
-        vocoder = _random_vocoder(batch_size, max_frames, num_mels, tiny=True) \
-            if stream_chunk else None
+        vocoder = _random_vocoder(num_mels, tiny=True) \
+            if (with_vocoder or stream_chunk) else None
     else:
         num_mels, max_frames, bucket = 80, 1024, 128
         model = FastSpeech2(idim=64, dtype=jnp.bfloat16)  # full-JSUT size
@@ -87,7 +87,7 @@ def _build_bundle(workdir: str, tiny: bool, batch_size: int,
         # relay may not finish it in a bench window (observed >20 min);
         # --no-vocoder benches the text->mel artifact instead
         vocoder = (
-            _random_vocoder(batch_size, max_frames, num_mels)
+            _random_vocoder(num_mels)
             if (with_vocoder or stream_chunk) else None
         )
 
@@ -102,27 +102,46 @@ def _build_bundle(workdir: str, tiny: bool, batch_size: int,
             method=FastSpeech2.inference,
         )
     )()
+    stream = None
+    baked = vocoder
+    if stream_chunk:
+        # streaming artifact: mel program + chunked-vocoder program — the
+        # vocoder is NOT baked into the infer fn (that would be the opposite
+        # of streaming)
+        stream = build_stream_step_fn(
+            vocoder, max_frames, num_mels, chunk=stream_chunk
+        )
+        baked = None
     fn, weights = build_infer_fn(
         config, model, variables, np.zeros(num_mels, np.float32),
-        np.ones(num_mels, np.float32), max_frames, vocoder=vocoder,
+        np.ones(num_mels, np.float32), max_frames, vocoder=baked,
     )
-    meta = {"output": "wav" if vocoder is not None else "mel",
-            "hop_size": 300, "sampling_rate": 24000}
+    hop = int(vocoder.hop_size) if vocoder is not None else 300
+    meta = {"output": "wav" if baked is not None else "mel",
+            "hop_size": hop, "sampling_rate": 24000}
     path = export_bundle(
         os.path.join(workdir, "serving.npz"), fn, batch_size, [bucket],
         meta, platforms=[jax.default_backend()], weights=weights,
+        stream=stream,
     )
     return load_bundle(path), bucket
 
 
-def _random_vocoder(batch_size, max_frames, num_mels):
+def _random_vocoder(num_mels, tiny: bool = False):
     """Random-weight HiFi-GAN in the Vocoder duck-type build_infer_fn uses."""
     import jax
     import jax.numpy as jnp
 
     from jatts_tpu.vocoder.hifigan import HiFiGANGenerator
 
-    gen = HiFiGANGenerator()
+    gen = (
+        HiFiGANGenerator(
+            in_channels=num_mels, channels=8, upsample_scales=(4, 2),
+            upsample_kernel_sizes=(8, 4), resblock_kernel_sizes=(3,),
+            resblock_dilations=((1, 3),),
+        )
+        if tiny else HiFiGANGenerator()
+    )
     gen_vars = jax.jit(
         lambda: gen.init(
             jax.random.key(2), jnp.zeros((1, 8, num_mels), jnp.float32)
@@ -133,9 +152,47 @@ def _random_vocoder(batch_size, max_frames, num_mels):
         model = gen
         variables = gen_vars
         mean = scale = None
-        hop_size = 300
+        hop_size = int(np.prod(gen.upsample_scales))
 
     return _V()
+
+
+def run_ttfa(tiny: bool = False, batch_size: int = 8, stream_chunk: int = 128,
+             n: int = 10):
+    """Time-to-first-audio through the streaming artifact (mel bundle +
+    chunked-vocoder program): one solo request, wall clock until the first
+    playable chunk is on the host, vs the time for the full waveform.
+    Random weights (speed is weight-independent)."""
+    rng = np.random.default_rng(0)
+    idim = 16 if tiny else 64
+    with tempfile.TemporaryDirectory() as workdir:
+        bundle, bucket = _build_bundle(
+            workdir, tiny, batch_size, with_vocoder=False,
+            stream_chunk=stream_chunk,
+        )
+        text = _texts(1, bucket, rng, idim)
+        # prime: compile both programs + tunnel ramp-up on the exact path
+        for _ in range(3):
+            for _rows in bundle.synthesize_streaming(text, seed=0):
+                pass
+        ttfa = np.zeros(n)
+        total = np.zeros(n)
+        for i in range(n):
+            t0 = time.monotonic()
+            first = None
+            for rows in bundle.synthesize_streaming(text, seed=i):
+                if first is None and len(rows[0]["wav"]):
+                    first = time.monotonic() - t0
+            total[i] = time.monotonic() - t0
+            ttfa[i] = first
+        return {
+            "stream_chunk": stream_chunk,
+            "ttfa_p50_ms": round(float(np.percentile(ttfa, 50)) * 1e3, 1),
+            "ttfa_p99_ms": round(float(np.percentile(ttfa, 99)) * 1e3, 1),
+            "stream_total_p50_ms": round(
+                float(np.percentile(total, 50)) * 1e3, 1
+            ),
+        }
 
 
 def _texts(n, bucket, rng, idim):
@@ -290,6 +347,11 @@ def main():
     ap.add_argument("--max-delay-ms", type=float, default=5.0)
     ap.add_argument("--no-vocoder", action="store_true",
                     help="bench the text->mel artifact (smaller program)")
+    ap.add_argument("--ttfa", action="store_true",
+                    help="measure time-to-first-audio through the "
+                         "streaming artifact instead of the load test")
+    ap.add_argument("--stream-chunk", type=int, default=128,
+                    help="mel frames per streamed chunk (--ttfa)")
     args = ap.parse_args()
     if args.tiny:
         # force CPU before any backend init: the axon sitecustomize pins
@@ -300,10 +362,14 @@ def main():
 
         jax.config.update("jax_platforms", "cpu")
     _enable_compile_cache()
-    out = run(tiny=args.tiny, batch_size=args.batch_size,
-              n_load=args.n_load, n_solo=args.n_solo,
-              max_delay_ms=args.max_delay_ms,
-              with_vocoder=not args.no_vocoder)
+    if args.ttfa:
+        out = run_ttfa(tiny=args.tiny, batch_size=args.batch_size,
+                       stream_chunk=args.stream_chunk)
+    else:
+        out = run(tiny=args.tiny, batch_size=args.batch_size,
+                  n_load=args.n_load, n_solo=args.n_solo,
+                  max_delay_ms=args.max_delay_ms,
+                  with_vocoder=not args.no_vocoder)
     print(json.dumps(out))
 
 

@@ -180,7 +180,7 @@ def main():
     }
     out = export_bundle(
         args.out, fn, args.batch_size, buckets, meta, spk_dim=spk_dim,
-        platforms=platforms, weights=weights,
+        platforms=platforms, weights=weights, stream=stream,
     )
     _log_written(out, meta, buckets, args)
 

@@ -130,7 +130,16 @@ class BatchingServer:
         """Enqueue one utterance for CHUNKED synthesis; returns an iterator
         of audio chunks (see StreamHandle). Requires a mel bundle exported
         with stream= support (export.build_stream_step_fn). Streaming and
-        non-streaming requests never share a program group."""
+        non-streaming requests never share a program group.
+
+        Known limitation: the chunk loop runs on the single dispatcher
+        thread, so requests queued behind a stream wait for the whole
+        utterance's chunks before their batch dispatches (head-of-line
+        blocking). On one chip the DEVICE is busy with those chunk programs
+        either way — interleaving dispatches would overlap only the O(ms)
+        host-side fetch gaps — but latency-sensitive mixed traffic should
+        use a separate BatchingServer instance for streams, or small
+        ``chunk`` exports to shorten each hold."""
         if self._closed:
             raise RuntimeError("server is closed")
         if getattr(self.bundle, "stream_fn", None) is None:

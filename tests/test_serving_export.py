@@ -447,3 +447,91 @@ def test_wav_baked_bundle(tmp_path):
     assert res16[0]["wav"].dtype == np.int16
     expect = np.round(np.clip(res[0]["wav"], -1, 1) * 32767).astype(np.int16)
     np.testing.assert_array_equal(res16[0]["wav"], expect)
+
+
+def test_stream_export_cli(tmp_path):
+    """--vocoder stream through the CLI: the exported bundle must actually
+    carry the chunked-vocoder program (regression: _export_standard built
+    the stream program but dropped it on the export_bundle call)."""
+    import jax
+
+    torch = pytest.importorskip("torch")
+    from test_vocoder_hifigan import _build_torch_generator
+
+    from jatts_tpu.bin.export_serving import main as export_main
+    from jatts_tpu.models.fastspeech2 import FastSpeech2
+    from jatts_tpu.serving import load_bundle
+
+    root = str(tmp_path)
+    num_mels, max_frames = 12, 48
+
+    # tiny torch HiFi-GAN checkpoint on disk, reference pickle layout
+    gp = dict(
+        in_channels=num_mels, channels=16, kernel_size=7,
+        upsample_scales=(4, 2), upsample_kernel_sizes=(8, 4),
+        resblock_kernel_sizes=(3,), resblock_dilations=((1, 3),),
+    )
+    torch.manual_seed(0)
+    tg = _build_torch_generator(**gp).eval()
+    voc_ckpt = os.path.join(root, "voc.pkl")
+    torch.save({"model": {"generator": tg.state_dict()}}, voc_ckpt)
+    voc_conf = os.path.join(root, "voc.yaml")
+    def _untuple(v):
+        return [_untuple(x) for x in v] if isinstance(v, (tuple, list)) else v
+
+    with open(voc_conf, "w") as f:
+        yaml.dump({"generator_params": {k: _untuple(v) for k, v in gp.items()},
+                   "sampling_rate": 24000}, f)
+
+    config = {
+        "sampling_rate": 24000, "hop_size": 8, "fft_size": 512,
+        "num_mels": num_mels,
+        "model_type": "FastSpeech2",
+        "model_params": {
+            "odim": num_mels, "adim": 16, "aheads": 2, "elayers": 1,
+            "eunits": 32, "dlayers": 1, "dunits": 32, "postnet_layers": 0,
+            "duration_predictor_chans": 8, "pitch_predictor_chans": 8,
+            "pitch_predictor_layers": 2, "energy_predictor_chans": 8,
+            "conformer_enc_kernel_size": 7, "conformer_dec_kernel_size": 7,
+        },
+        "vocoder": {"checkpoint": voc_ckpt, "config": voc_conf},
+    }
+    conf = os.path.join(root, "conf.yaml")
+    with open(conf, "w") as f:
+        yaml.dump(config, f)
+    stats = os.path.join(root, "stats.h5")
+    _write_stats(stats, num_mels)
+    tokens = os.path.join(root, "tokens.txt")
+    n_vocab = _write_tokens(tokens)
+
+    model = FastSpeech2(**dict(config["model_params"], idim=n_vocab))
+    expdir = os.path.join(root, "exp")
+    _save_ckpt(
+        expdir, model,
+        (np.ones((1, 5), np.int32), np.array([5]), max_frames),
+        {"params": jax.random.key(0)},
+    )
+
+    out = os.path.join(root, "serving_stream.npz")
+    _run(export_main, [
+        "export", "--config", conf, "--stats", stats, "--token-list", tokens,
+        "--expdir", expdir, "--out", out, "--batch-size", "2",
+        "--text-buckets", "16", "--max-frames", str(max_frames),
+        "--platforms", "cpu", "--vocoder", "stream", "--stream-chunk", "16",
+    ])
+    bundle = load_bundle(out)
+    assert bundle.stream_fn is not None, "CLI dropped the stream program"
+    assert bundle.meta["output"] == "mel"  # mel program stays vocoder-free
+    assert bundle.meta["streaming"]["chunk"] == 16
+
+    ids = [[2, 3, 4, 5], [3, 4]]
+    chunks = [[] for _ in ids]
+    for rows in bundle.synthesize_streaming(ids, seed=0):
+        for i, r in enumerate(rows):
+            chunks[i].append(r["wav"])
+    mels = bundle.synthesize(ids, seed=0)
+    hop = int(bundle.meta["streaming"]["hop"])
+    for i in range(len(ids)):
+        wav = np.concatenate(chunks[i])
+        assert wav.dtype == np.int16
+        assert wav.shape == (mels[i]["mel"].shape[0] * hop,)
