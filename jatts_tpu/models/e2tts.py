@@ -146,6 +146,30 @@ class E2TTS(nn.Module):
         no_drop = jnp.zeros((b,), bool)
         yes_drop = jnp.ones((b,), bool)
 
+        # text-embedding cache (reference unett.py:223-233, cache=True): the
+        # cond/uncond text embeddings are step-invariant, so compute them
+        # ONCE here and hand them to every ODE step as scan invariants —
+        # the functional equivalent of the reference's text_cond/text_uncond
+        # mutable cache. One doubled-batch embed call covers both CFG
+        # branches.
+        if cfg_strength < 1e-5:
+            te = self.net(
+                cond, step_cond, text, jnp.zeros((b,)), no_drop, no_drop,
+                mask, deterministic=True, return_text_embed=True,
+            )
+            te2 = None
+        else:
+            tx2 = jnp.concatenate([text, text], axis=0)
+            da = jnp.concatenate([no_drop, yes_drop], axis=0)
+            te = None
+            te2 = self.net(
+                jnp.concatenate([cond, cond], axis=0),
+                jnp.concatenate([step_cond, step_cond], axis=0),
+                tx2, jnp.zeros((2 * b,)), da, da,
+                jnp.concatenate([mask, mask], axis=0),
+                deterministic=True, return_text_embed=True,
+            )
+
         # lifted lax.scan over Euler steps: ONE UNetT body in the traced
         # program instead of `steps` copies (steps-times smaller HLO; the
         # unrolled 24L x 32-step variant was minutes of remote compile)
@@ -156,18 +180,17 @@ class E2TTS(nn.Module):
             if cfg_strength < 1e-5:
                 pred = mdl.net(
                     y, step_cond, text, jnp.full((b,), t_i), no_drop, no_drop,
-                    mask, deterministic=True,
+                    mask, deterministic=True, text_embed=te,
                 )
             else:
                 # doubled-batch CFG: [cond; uncond] in one forward
                 y2 = jnp.concatenate([y, y], axis=0)
                 sc2 = jnp.concatenate([step_cond, step_cond], axis=0)
-                tx2 = jnp.concatenate([text, text], axis=0)
                 m2 = jnp.concatenate([mask, mask], axis=0)
-                da = jnp.concatenate([no_drop, yes_drop], axis=0)
+                da2 = jnp.concatenate([no_drop, yes_drop], axis=0)
                 out = mdl.net(
-                    y2, sc2, tx2, jnp.full((2 * b,), t_i), da, da, m2,
-                    deterministic=True,
+                    y2, sc2, tx2, jnp.full((2 * b,), t_i), da2, da2, m2,
+                    deterministic=True, text_embed=te2,
                 )
                 pred, null_pred = out[:b], out[b:]
                 pred = pred + (pred - null_pred) * cfg_strength

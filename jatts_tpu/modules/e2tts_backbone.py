@@ -192,26 +192,42 @@ class UNetT(nn.Module):
         drop_text: jnp.ndarray,        # [B] bool
         mask: Optional[jnp.ndarray] = None,  # [B, N] bool
         deterministic: bool = True,
+        text_embed: Optional[jnp.ndarray] = None,  # [B, N, mel] precomputed
+        return_text_embed: bool = False,
     ) -> jnp.ndarray:
+        """``text_embed``/``return_text_embed`` implement the reference's
+        inference-time text-embedding cache (unett.py:223-233 ``cache=True``:
+        text_cond/text_uncond computed once, reused every ODE step) the
+        functional way: call once with ``return_text_embed=True`` per CFG
+        branch outside the ODE scan, then pass the result back in as a
+        scan-invariant — nothing mutable, nothing retraced."""
         b, n, _ = x.shape
         text_dim = self.mel_dim
 
-        t = TimestepEmbedding(self.dim, dtype=self.dtype, name="time_embed")(time)
+        if not return_text_embed:
+            t = TimestepEmbedding(
+                self.dim, dtype=self.dtype, name="time_embed"
+            )(time)
 
         # ---- text embedding (reference TextEmbedding, unett.py:45-92) ----
-        text_ids = text + 1  # 0 is the filler token (pad was -1)
-        nt = text_ids.shape[1]
-        if nt < n:
-            text_ids = jnp.pad(text_ids, ((0, 0), (0, n - nt)))
-        else:
-            text_ids = text_ids[:, :n]
-        text_ids = jnp.where(drop_text[:, None], 0, text_ids)
-        text_embed = nn.Embed(
-            self.text_num_embeds + 1, text_dim, dtype=self.dtype,
-            name="text_embed",
-        )(text_ids.astype(jnp.int32))
-        if self.text_mask_padding:
-            text_embed = jnp.where((text_ids == 0)[..., None], 0.0, text_embed)
+        if text_embed is None:
+            text_ids = text + 1  # 0 is the filler token (pad was -1)
+            nt = text_ids.shape[1]
+            if nt < n:
+                text_ids = jnp.pad(text_ids, ((0, 0), (0, n - nt)))
+            else:
+                text_ids = text_ids[:, :n]
+            text_ids = jnp.where(drop_text[:, None], 0, text_ids)
+            text_embed = nn.Embed(
+                self.text_num_embeds + 1, text_dim, dtype=self.dtype,
+                name="text_embed",
+            )(text_ids.astype(jnp.int32))
+            if self.text_mask_padding:
+                text_embed = jnp.where(
+                    (text_ids == 0)[..., None], 0.0, text_embed
+                )
+        if return_text_embed:
+            return text_embed
 
         # ---- input embedding ----
         cond = jnp.where(drop_audio_cond[:, None, None], 0.0, cond)

@@ -21,7 +21,12 @@ jax.config.update("jax_platforms", "cpu")
 # makes repeat runs (and CI re-runs) fast. Also exported as env so (a) bin
 # modules imported in-process DON'T retarget the cache to the user-level
 # default (they skip their config.update when the env var is set), and (b)
-# subprocess children (multihost/run.sh E2Es) inherit the committed cache.
+# subprocess children (multihost/run.sh E2Es) inherit the suite cache.
+# The cache directory is LOCAL-ONLY (gitignored): XLA:CPU serialized
+# executables are AOT-compiled for the build host's CPU features, and
+# entries committed from one machine fail to load on another
+# (cpu_aot_loader errors) with churn that blew test_preemption's 900 s
+# deadline in round 4 — never commit entries, only the .gitignore.
 _cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
 os.environ["JAX_COMPILATION_CACHE_DIR"] = _cache_dir
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
