@@ -123,26 +123,58 @@ def _eval_one(task):
     return m
 
 
+def _load_asr(args):
+    """Reference-shaped ASR loader (jatts/bin/evaluate.py:25-49): when the
+    ``nue_asr`` package is importable, load the model EXACTLY the way the
+    reference does — nue_asr.load_model + load_tokenizer, transcription on
+    audio center-padded by 1 s (librosa.util.pad_center(size=len+16000) ==
+    8000 samples each side) — so real rinna/nue-asr weights work unchanged.
+    Falls back to a generic ``transformers`` ASR pipeline (any local CTC /
+    seq2seq checkpoint via --asr-path). Returns transcribe(wav16k)->text or
+    None."""
+    name = getattr(args, "asr_path", None)
+    try:
+        import nue_asr  # noqa: PLC0415 — gated; not in this image
+
+        model = nue_asr.load_model(name or "rinna/nue-asr")
+        tokenizer = nue_asr.load_tokenizer(name or "rinna/nue-asr")
+
+        def transcribe(wav):
+            audio = np.pad(np.asarray(wav, np.float32), (8000, 8000))
+            return nue_asr.transcribe(model, tokenizer, audio).text
+
+        return transcribe
+    except ImportError:
+        pass
+    except Exception as e:  # noqa: BLE001 — weights missing/corrupt
+        logging.warning(f"nue_asr present but failed to load ({e}); "
+                        "trying the generic pipeline")
+    try:
+        from transformers import pipeline  # noqa: PLC0415
+
+        asr = pipeline("automatic-speech-recognition", model=name)
+        # raw-array input: a filename path would need ffmpeg (absent here);
+        # the reference also feeds arrays (evaluate.py:95-99 via librosa)
+        return lambda wav: asr({"raw": wav, "sampling_rate": 16000})["text"]
+    except Exception as e:  # noqa: BLE001
+        logging.warning(f"ASR unavailable ({e}); skipping CER")
+        return None
+
+
 def _eval_asr(tasks, rows, sr, args):
     """CER via a local ASR model (gated — the reference uses rinna/nue-asr
     + pyopenjtalk kana normalization, evaluate.py:35-112; weights are not in
     this image, so this requires --asr-path with local weights)."""
-    try:
-        from transformers import pipeline  # noqa: PLC0415
-
-        asr = pipeline("automatic-speech-recognition", model=getattr(args, "asr_path", None))
-    except Exception as e:  # noqa: BLE001
-        logging.warning(f"ASR unavailable ({e}); skipping CER")
+    transcribe = _load_asr(args)
+    if transcribe is None:
         return None
     ref_by_utt = {r["sample_id"]: r.get("original_text", "") for r in rows}
     keys = ("hits", "substitutions", "deletions", "insertions")
     c_tot = {k: 0 for k in keys}
     w_tot = {k: 0 for k in keys}
     for utt, gen_path, *_ in tasks:
-        # raw-array input: the filename path needs ffmpeg (absent here); the
-        # reference also feeds arrays (evaluate.py:95-99 via librosa.load)
         wav, _ = read_audio(gen_path, 16000)
-        hyp = normalize_sentence(asr({"raw": wav, "sampling_rate": 16000})["text"])
+        hyp = normalize_sentence(transcribe(wav))
         ref = normalize_sentence(ref_by_utt.get(utt, ""))
         for tot, r, h in ((c_tot, ref, hyp),
                           (w_tot, ref.split(), hyp.split())):

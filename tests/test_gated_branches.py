@@ -195,3 +195,72 @@ def test_eval_sheet_tiny_model_e2e(tmp_path, capsys):
     assert "SHEET score:" in out
     score = float(out.split("SHEET score:")[1].split()[0])
     assert 1.0 <= score <= 5.0
+
+
+def test_eval_asr_nue_asr_shaped_loader(monkeypatch, tiny_asr_dir, tmp_path):
+    """The reference-exact ASR path (jatts/bin/evaluate.py:25-49): when a
+    ``nue_asr`` package is importable, _load_asr must call
+    nue_asr.load_model/load_tokenizer with the model name and transcribe
+    through nue_asr.transcribe on 1 s-center-padded audio — a nue_asr-shaped
+    stub wrapping the tiny local CTC model pins the call contract."""
+    from transformers import pipeline
+
+    from jatts_tpu.bin.evaluate import _eval_asr, _load_asr
+
+    inner = pipeline("automatic-speech-recognition", model=tiny_asr_dir)
+    calls = {"load_model": [], "load_tokenizer": [], "pad_ok": []}
+
+    mod = types.ModuleType("nue_asr")
+
+    def load_model(name):
+        calls["load_model"].append(name)
+        return inner
+
+    def load_tokenizer(name):
+        calls["load_tokenizer"].append(name)
+        return "tok"
+
+    def transcribe(model, tokenizer, audio):
+        assert tokenizer == "tok"
+        # reference transcribe: librosa.util.pad_center(wav, len(wav)+16000)
+        calls["pad_ok"].append(
+            len(audio) >= 16000
+            and not np.any(audio[:8000]) and not np.any(audio[-8000:])
+        )
+        text = model({"raw": np.asarray(audio, np.float32),
+                      "sampling_rate": 16000})["text"]
+        return types.SimpleNamespace(text=text)
+
+    mod.load_model = load_model
+    mod.load_tokenizer = load_tokenizer
+    mod.transcribe = transcribe
+    monkeypatch.setitem(sys.modules, "nue_asr", mod)
+
+    args = types.SimpleNamespace(asr_path=tiny_asr_dir)
+    fn = _load_asr(args)
+    out = fn(np.zeros(1600, np.float32))
+    assert isinstance(out, str)
+    assert calls["load_model"] == [tiny_asr_dir]
+    assert calls["load_tokenizer"] == [tiny_asr_dir]
+    assert all(calls["pad_ok"])
+
+    # and end-to-end through _eval_asr (corpus CER over the stubbed path)
+    p = tmp_path / "utt0.wav"
+    _wav(0, n=16000, sr=16000, path=p)
+    tasks = [("utt0", str(p), str(p), 16000, 40.0, 800.0, "dct")]
+    rows = [{"sample_id": "utt0", "original_text": "abc"}]
+    cer = _eval_asr(tasks, rows, 16000, args)
+    assert cer is not None and np.isfinite(cer) and cer >= 0.0
+
+
+def test_eval_asr_nue_asr_broken_falls_back(monkeypatch, tiny_asr_dir):
+    """nue_asr importable but weights unloadable -> generic pipeline."""
+    from jatts_tpu.bin.evaluate import _load_asr
+
+    mod = types.ModuleType("nue_asr")
+    mod.load_model = lambda name: (_ for _ in ()).throw(OSError("no weights"))
+    mod.load_tokenizer = lambda name: None
+    monkeypatch.setitem(sys.modules, "nue_asr", mod)
+    fn = _load_asr(types.SimpleNamespace(asr_path=tiny_asr_dir))
+    assert fn is not None
+    assert isinstance(fn(np.zeros(1600, np.float32)), str)
