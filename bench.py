@@ -328,6 +328,11 @@ def _decode_all_extra():
         ("matcha_ode10_decode_rtf", lambda: bench_matcha(10, quiet=True)),
         ("vits_decode_rtf", lambda: bench_vits(quiet=True)),
         ("e2tts_nfe32_cfg_decode_rtf", lambda: bench_e2tts(quiet=True)),
+        # NFE-16 operating point: RTF is linear in NFE (64 -> 32 UNetT
+        # passes); NFE-32+CFG is roofline-bound ABOVE the 0.01 target on one
+        # chip (docs/perf_e2tts_decode.md)
+        ("e2tts_nfe16_cfg_decode_rtf",
+         lambda: bench_e2tts(steps=16, quiet=True)),
     ):
         try:
             out[key] = round(float(fn()), 6)
