@@ -34,7 +34,10 @@ import numpy as np
 # a global deadline (env-overridable), the headline first, then extras in
 # priority order, each started only if its estimated cost fits; a watchdog
 # thread force-emits whatever has accumulated if anything hangs.
-DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "1500"))
+# default 3000 s: round-3's full bench (cold compiles through the relay)
+# passed under the driver budget, so that budget is ~>=3600 s; 3000 leaves
+# emit margin under it while still letting every extra run warm-cache.
+DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "3000"))
 _START = time.monotonic()
 _RESULT: dict = {}
 _EMIT_LOCK = threading.Lock()

@@ -59,3 +59,35 @@ def test_e2tts_inference_cfg():
     assert np.isfinite(fg).all()
     # frames beyond duration are zero
     assert np.abs(fg[1, 20:]).sum() == 0
+
+
+def test_unett_text_embed_cache_exact():
+    """The inference-time text-embedding cache (reference unett.py:223-233)
+    must be semantically inert: UNetT called with a precomputed
+    ``text_embed`` (from ``return_text_embed=True``) is bit-identical to
+    the self-computing path, for both CFG branches."""
+    rng = np.random.default_rng(3)
+    b, n, nt = 2, 16, 6
+    model = E2TTS(**TINY)
+    text = jnp.array(rng.integers(0, 20, (b, nt)).astype(np.int32))
+    feats = jnp.array(rng.normal(size=(b, n, 8)).astype(np.float32))
+    lens = jnp.array([n, n - 4])
+    variables = model.init(RNGS, text, feats, lens, deterministic=False)
+
+    x = jnp.array(rng.normal(size=(b, n, 8)).astype(np.float32))
+    cond = jnp.array(rng.normal(size=(b, n, 8)).astype(np.float32))
+    time = jnp.full((b,), 0.3, jnp.float32)
+    mask = jnp.arange(n)[None, :] < lens[:, None]
+
+    def net(*args, **kw):
+        return model.apply(
+            variables, *args, **kw,
+            method=lambda mdl, *a, **k: mdl.net(*a, **k),
+        )
+
+    for drop in (jnp.zeros((b,), bool), jnp.ones((b,), bool)):
+        want = net(x, cond, text, time, drop, drop, mask)
+        te = net(x, cond, text, time, drop, drop, mask,
+                 return_text_embed=True)
+        got = net(x, cond, text, time, drop, drop, mask, text_embed=te)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
