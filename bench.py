@@ -86,14 +86,10 @@ def _enable_compile_cache():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def _probe_backend(timeout_s: int = 120):
-    """Fail FAST (clear message, bounded time) when the TPU relay is down.
-
-    Backend init through a dead relay can HANG for many minutes (observed:
-    indefinitely), which would otherwise burn the whole bench budget before
-    the first config even starts. The probe runs a tiny op in a SUBPROCESS
-    (fully exits before we touch the backend — single-client tunnel) under
-    a hard timeout."""
+def _probe_once(timeout_s: int = 120):
+    """One bounded relay probe: tiny op in a SUBPROCESS (fully exits before
+    we touch the backend — single-client tunnel) under a hard timeout.
+    Returns None on success, an error string otherwise."""
     import subprocess
     import sys
 
@@ -105,15 +101,37 @@ def _probe_backend(timeout_s: int = 120):
             timeout=timeout_s, capture_output=True, text=True,
         )
         if "PROBE_OK" in out.stdout:
-            return
+            return None
         msg = (out.stderr or out.stdout).strip().splitlines()
-        raise SystemExit(
-            f"TPU backend probe failed: {msg[-1] if msg else 'no output'}"
-        )
+        return f"probe failed: {msg[-1] if msg else 'no output'}"
     except subprocess.TimeoutExpired:
-        raise SystemExit(
-            f"TPU backend probe hung >{timeout_s}s — relay down; not starting"
-        ) from None
+        return f"probe hung >{timeout_s}s (relay down)"
+
+
+def _probe_backend():
+    """Wait for the relay, bounded by the global deadline.
+
+    Backend init through a dead relay can HANG for many minutes (observed:
+    indefinitely), which would otherwise burn the whole bench budget before
+    the first config even starts. The relay also goes fully DOWN for
+    stretches and comes back (CLAUDE.md) — so instead of giving up after one
+    failed probe (which would lose the round's evidence exactly like the
+    rc=124 of round 4), RETRY until it answers or the remaining budget can
+    no longer fit the headline config (~300 s floor)."""
+    attempt = 0
+    while True:
+        err = _probe_once(min(120, max(30, int(_remaining() - 60))))
+        if err is None:
+            if attempt:
+                print(f"# relay back after {attempt} failed probes", flush=True)
+            return
+        attempt += 1
+        if _remaining() < 300 + 60:
+            raise SystemExit(
+                f"TPU relay never answered within the deadline: {err}"
+            )
+        print(f"# {err}; retrying ({_remaining():.0f}s left)", flush=True)
+        time.sleep(min(60, max(5, _remaining() - 300)))
 
 
 CONFIGS = [
@@ -559,7 +577,7 @@ EXTRAS = (
 
 def main():
     _start_watchdog()
-    _probe_backend(min(120, max(30, int(_remaining() - 60))))
+    _probe_backend()
     _enable_compile_cache()
     last_err = None
     for name, kwargs in CONFIGS:
