@@ -66,15 +66,23 @@ def test_sigterm_saves_final_checkpoint(tmp_path):
     )
 
     # wait for the first interval checkpoint = training is genuinely underway.
-    # Generous deadline: on hosts whose CPU features mismatch the committed
-    # suite-cache AOT entries, the child repays load-fail/recompile churn
-    # before its first step (observed 300.3s on one host); the loop exits the
-    # moment the checkpoint exists, so fast machines pay nothing.
-    deadline = time.time() + 900
+    # Generous deadline: a fresh host cold-compiles the child's programs into
+    # its (local-only, gitignored) suite cache before the first step —
+    # observed ~300 s on one host, and >900 s when the machine was ALSO
+    # busy tracing large HLOs in another process; the loop exits the moment
+    # the checkpoint exists, so fast machines pay nothing.
+    deadline = time.time() + 1800
     try:
         while find_latest_checkpoint(outdir) is None:
             assert p.poll() is None, p.communicate()[0][-4000:]
-            assert time.time() < deadline, "no interval checkpoint within 900s"
+            if time.time() >= deadline:
+                # include the child's output so a timeout is diagnosable
+                p.kill()
+                out = p.communicate()[0]
+                raise AssertionError(
+                    f"no interval checkpoint within 1800s; child output tail:\n"
+                    f"{out[-4000:]}"
+                )
             time.sleep(0.5)
         p.send_signal(signal.SIGTERM)
         out = p.communicate(timeout=120)[0]
