@@ -331,6 +331,17 @@ def _mas_train_extra():
             out["vits_train_mfu_vs_197tflops_bf16"] = round(mfu, 4)
     except Exception as e:  # noqa: BLE001
         print(f"# vits train failed: {str(e)[:160]}", flush=True)
+    # B=32 rung: the recipe's frame-budget bucketing means effective batch is
+    # set by the bucket, not a fixed B; at B=16xT=512 the Matcha-MAS step is
+    # under-saturated (B=8 runs at 59% of the time for 50% of the work —
+    # docs/perf_mas_step.md). This key shows the MFU at a saturating bucket.
+    try:
+        ms, mfu = run_matcha_mas(b=32, quiet=True)
+        out["matcha_mas_b32_train_ms_per_step"] = round(ms, 1)
+        if mfu is not None:
+            out["matcha_mas_b32_train_mfu_vs_197tflops_bf16"] = round(mfu, 4)
+    except Exception as e:  # noqa: BLE001
+        print(f"# matcha_mas b32 failed: {str(e)[:160]}", flush=True)
     return out
 
 
@@ -567,7 +578,7 @@ EXTRAS = (
     (_valle_extra, 180),        # AR decode tok/s b4 + b32
     (_train_extra, 150),        # FS2 train + MFU
     (_flagship_mfu_extra, 240),  # VALL-E AR/NAR + E2-TTS train MFU
-    (_mas_train_extra, 200),    # Matcha-MAS + VITS train MFU
+    (_mas_train_extra, 260),    # Matcha-MAS (B=16 + B=32) + VITS train MFU
     (_decode_all_extra, 240),   # Matcha/VITS/E2-TTS decode RTF
     (_serving_ttfa_extra, 180),  # streaming time-to-first-audio
     (_serving_extra, 300),      # batching-server load test
