@@ -74,9 +74,13 @@ def profile(b=32, max_steps=256, n_chunks=None):
     text, text_lens, proms, prom_lens = inputs
     audio_s = b * max_steps / 75.0
 
-    ar = jax.jit(lambda seed: ar_generate(
-        models["ar"], vars_["ar"], jax.random.PRNGKey(seed), *inputs,
+    # weights must be ARGUMENTS of the jitted fn, not closure constants —
+    # closed-over arrays are serialized into the remote-compile payload
+    # (HTTP 413 at B=32 with 150M bf16 params)
+    ar_j = jax.jit(lambda v, seed: ar_generate(
+        models["ar"], v, jax.random.PRNGKey(seed), *inputs,
         max_steps=max_steps, n_chunks=n_chunks)["codes"])
+    ar = lambda seed: ar_j(vars_["ar"], seed)
     t_ar = _time(ar)
     print(f"B={b} ar-only:   {t_ar * 1e3:7.1f} ms  "
           f"({b * max_steps / t_ar:.0f} tok/s, rtf {t_ar / audio_s:.5f})",
@@ -85,9 +89,10 @@ def profile(b=32, max_steps=256, n_chunks=None):
     rng0 = np.random.default_rng(1)
     level0 = np.asarray(rng0.integers(0, 1024, (b, max_steps)), np.int32)
     resp_lens = np.full((b,), max_steps, np.int32)
-    nar = jax.jit(lambda seed: nar_generate(
-        models["nar"], vars_["nar"], jax.random.PRNGKey(seed), *inputs,
+    nar_j = jax.jit(lambda v, seed: nar_generate(
+        models["nar"], v, jax.random.PRNGKey(seed), *inputs,
         level0, resp_lens))
+    nar = lambda seed: nar_j(vars_["nar"], seed)
     t_nar = _time(nar)
     print(f"B={b} nar-only:  {t_nar * 1e3:7.1f} ms  (7 levels, "
           f"rtf {t_nar / audio_s:.5f})", flush=True)
@@ -113,10 +118,10 @@ def chunk_sweep(b=32, max_steps=256):
 
     models, vars_, inputs = _mk(b)
     for nc in (1, 2, 4, 8, 16):
-        ar = jax.jit(lambda seed, nc=nc: ar_generate(
-            models["ar"], vars_["ar"], jax.random.PRNGKey(seed), *inputs,
+        ar_j = jax.jit(lambda v, seed, nc=nc: ar_generate(
+            models["ar"], v, jax.random.PRNGKey(seed), *inputs,
             max_steps=max_steps, n_chunks=nc)["codes"])
-        t = _time(ar)
+        t = _time(lambda seed: ar_j(vars_["ar"], seed))
         print(f"B={b} n_chunks={nc:2d}: {t * 1e3:7.1f} ms "
               f"({b * max_steps / t:.0f} tok/s)", flush=True)
 
