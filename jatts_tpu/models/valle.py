@@ -197,8 +197,18 @@ class VALLEBase(nn.Module):
     def trunk(
         self, text, text_lens, proms, prom_lens, resps, resp_lens,
         resp_levels, quant_levels=None, deterministic: bool = True,
+        return_hidden: bool = False,
     ):
-        """Packed forward -> logits [B, S, n_resp_tokens], layout info."""
+        """Packed forward -> logits [B, S, n_resp_tokens], layout info.
+
+        ``return_hidden=True`` returns the pre-classifier hidden states
+        [B, S, D] instead of logits: decode paths that only need a REGION
+        of the sequence (NAR resp rows, AR last prefix position) gather the
+        hidden rows first and run the classifier on just those — skipping
+        the [B, S, V] f32 logits materialization plus the classifier FLOPs
+        on the text/prom region (measured: the per-element resp-logits
+        gather this replaces cost ~127 ms/level at B=32,
+        benchmarks/bench_nar_isolate.py)."""
         b = text.shape[0]
         e_text = self.text_emb(text)
         e_prom = self._multi_embed(
@@ -240,6 +250,8 @@ class VALLEBase(nn.Module):
                 )(block, x, m, quant_levels, deterministic)
             else:
                 x = block(x, m, quant_levels, deterministic=deterministic)
+        if return_hidden:
+            return x[:, :s_orig], total
         # f32 logits regardless of compute dtype (loss/sampling stability)
         logits = (self.classifier(x) * m).astype(jnp.float32)
         return logits[:, :s_orig], total
@@ -329,11 +341,12 @@ class VALLEAR(VALLEBase):
             h, k, v = block.prefill(h, m)
             caches_k.append(k)
             caches_v.append(v)
-        logits_prefix = self.classifier(h).astype(jnp.float32)
+        # gather the last prefix row FIRST (broadcast row gather), classify
+        # only that row — the full-prefix [B, S, V] f32 classifier was
+        # wasted on positions never read (cf. nar_generate's same fix)
         idx = (prefix_len - 1)[:, None, None]
-        last = jnp.take_along_axis(
-            logits_prefix, jnp.broadcast_to(idx, (b, 1, logits_prefix.shape[-1])), axis=1
-        )[:, 0, :]
+        last_h = jnp.take_along_axis(h, idx, axis=1)  # [B, 1, D]
+        last = self.classifier(last_h).astype(jnp.float32)[:, 0, :]
         return last, prefix_len, tuple(caches_k), tuple(caches_v)
 
     def decode_one(
@@ -587,21 +600,31 @@ class VALLENAR(VALLEBase):
         def body(mdl, codes, xs):
             level, r = xs
             q = jnp.full((b,), level, jnp.int32)
-            logits, total = mdl.trunk(
+            hidden, total = mdl.trunk(
                 text, text_lens, proms, prom_lens, codes, resp_lens,
-                q + 1, q, True,
+                q + 1, q, True, return_hidden=True,
             )
-            # take resp-region logits
-            s = logits.shape[1]
+            # gather the resp-region HIDDEN rows (broadcast index -> a row
+            # gather), then classify just those rows. A take_along_axis on
+            # the full logits with a repeated [B,Tr,V] index lowers to a
+            # per-ELEMENT gather — measured ~127 ms/level at B=32
+            # (benchmarks/bench_nar_isolate.py); this form is ~free and
+            # also skips the classifier on the text/prom rows.
+            s = hidden.shape[1]
             lx = text_lens[:, None]
             lp = prom_lens[:, None]
             start = lx + lp + 2
             # clamp: for long text+prompt, start+tr can exceed the packed
             # length S — take_along_axis is silently out-of-bounds under jit
             pos = jnp.clip(jnp.arange(tr)[None, :] + start, 0, s - 1)  # [B, Tr]
-            resp_logits = jnp.take_along_axis(
-                logits, pos[..., None].repeat(logits.shape[-1], -1), axis=1
-            )
+            resp_h = jnp.take_along_axis(hidden, pos[..., None], axis=1)
+            # zero logits past each row's resp_lens, matching the trunk's
+            # `* m` masking at those packed positions (keeps the padded-
+            # capacity rows sampling from uniform logits exactly as before)
+            valid = (jnp.arange(tr)[None, :] < resp_lens[:, None])[..., None]
+            resp_logits = (
+                mdl.classifier(resp_h) * valid.astype(resp_h.dtype)
+            ).astype(jnp.float32)
             sampled = jax.random.categorical(
                 r, resp_logits / sampling_temperature, axis=-1
             )
