@@ -197,7 +197,7 @@ class VALLEBase(nn.Module):
     def trunk(
         self, text, text_lens, proms, prom_lens, resps, resp_lens,
         resp_levels, quant_levels=None, deterministic: bool = True,
-        return_hidden: bool = False,
+        return_hidden: bool = False, pad_to_128: bool = False,
     ):
         """Packed forward -> logits [B, S, n_resp_tokens], layout info.
 
@@ -208,7 +208,18 @@ class VALLEBase(nn.Module):
         the [B, S, V] f32 logits materialization plus the classifier FLOPs
         on the text/prom region (measured: the per-element resp-logits
         gather this replaces cost ~127 ms/level at B=32,
-        benchmarks/bench_nar_isolate.py)."""
+        benchmarks/bench_nar_isolate.py).
+
+        ``pad_to_128=True`` pads the packed length to a multiple of 128
+        before the blocks (pad rows fully masked, sliced off on return) —
+        awkward packed lengths tax XLA's tiling hard (the 12 blocks at
+        S=547 measured ~2x the S=512 cost at B=32,
+        benchmarks/bench_nar_trunk_stages.py); output on valid rows is
+        bit-identical (masked keys contribute exp(-1e9)=0 to the softmax).
+        Decode paths enable it; the training path keeps its exact shapes
+        (padding there would change dropout-rng geometry and the pinned
+        parity trajectories — enable per-config if train steps show the
+        same awkward-length tax)."""
         b = text.shape[0]
         e_text = self.text_emb(text)
         e_prom = self._multi_embed(
@@ -227,7 +238,7 @@ class VALLEBase(nn.Module):
         s_orig = x.shape[1]
         from jatts_tpu.modules.attention import flash_pad_needed
 
-        if flash_pad_needed(self.attn_backend, s_orig):
+        if pad_to_128 or flash_pad_needed(self.attn_backend, s_orig):
             # flash kernel blocks are 128-wide: pad the packed length (the
             # pad rows are masked everywhere and sliced off below). Gated on
             # the policy, not `== "flash"`, so 'auto' can reach the kernel
@@ -330,6 +341,15 @@ class VALLEAR(VALLEBase):
         )
         x = x[:, : tx + 1 + tp + 1]  # drop resp capacity
         x = self.sin_emb(x)
+        sp_orig = x.shape[1]
+        # pad the prefill COMPUTE to a 128-multiple (awkward lengths tax
+        # XLA's tiling ~2x — see trunk's pad_to_128), but slice the K/V
+        # caches back to the exact prefix capacity: the decode scan reads
+        # the prefix caches every step, and 93 dead slots would add ~30%
+        # prefix KV traffic to all 256 steps for nothing
+        s_pad = -sp_orig % 128
+        if s_pad:
+            x = jnp.pad(x, ((0, 0), (0, s_pad), (0, 0)))
         m = sequence_mask(prefix_len, x.shape[1], x.dtype)[..., None]
 
         caches_k, caches_v = [], []
@@ -339,8 +359,8 @@ class VALLEAR(VALLEBase):
             # per-layer to_qkv projection runs ONCE (it used to run again
             # inside block())
             h, k, v = block.prefill(h, m)
-            caches_k.append(k)
-            caches_v.append(v)
+            caches_k.append(k[:, :sp_orig])
+            caches_v.append(v[:, :sp_orig])
         # gather the last prefix row FIRST (broadcast row gather), classify
         # only that row — the full-prefix [B, S, V] f32 classifier was
         # wasted on positions never read (cf. nar_generate's same fix)
@@ -602,7 +622,7 @@ class VALLENAR(VALLEBase):
             q = jnp.full((b,), level, jnp.int32)
             hidden, total = mdl.trunk(
                 text, text_lens, proms, prom_lens, codes, resp_lens,
-                q + 1, q, True, return_hidden=True,
+                q + 1, q, True, return_hidden=True, pad_to_128=True,
             )
             # gather the resp-region HIDDEN rows (broadcast index -> a row
             # gather), then classify just those rows. A take_along_axis on
