@@ -214,8 +214,9 @@ class VALLEBase(nn.Module):
         before the blocks (pad rows fully masked, sliced off on return) —
         awkward packed lengths tax XLA's tiling hard (the 12 blocks at
         S=547 measured ~2x the S=512 cost at B=32,
-        benchmarks/bench_nar_trunk_stages.py); output on valid rows is
-        bit-identical (masked keys contribute exp(-1e9)=0 to the softmax).
+        benchmarks/bench_nar_trunk_stages.py); semantically inert on valid
+        rows — masked keys contribute exp(-1e9)=0 to the softmax; only
+        reduction-order jitter (~1e-6) from the changed contraction tiling.
         Decode paths enable it; the training path keeps its exact shapes
         (padding there would change dropout-rng geometry and the pinned
         parity trajectories — enable per-config if train steps show the

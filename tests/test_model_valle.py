@@ -134,6 +134,32 @@ def test_valle_nar_train_and_generate():
     assert (codes >= 0).all() and (codes < 32).all()
 
 
+def test_trunk_pad_to_128_exact():
+    """pad_to_128 (the decode paths' awkward-length fix) must be
+    semantically inert: pad rows are fully masked, so logits on the
+    original packed positions match with and without padding up to
+    reduction-order jitter (padding changes the contraction tiling,
+    so bitwise equality is not guaranteed — observed ~4e-6 on CPU)."""
+    rng = np.random.default_rng(3)
+    inp = _inputs(rng, levels=8)
+    model = VALLENAR(**TINY)
+    variables = model.init(RNGS, **inp, deterministic=False)
+    q = jnp.array([2, 4])
+
+    def run(pad):
+        logits, total = model.apply(
+            variables, inp["text"], inp["text_lens"], inp["proms"],
+            inp["prom_lens"], inp["resps"], inp["resp_lens"],
+            q + 1, q, True, method=VALLENAR.trunk, pad_to_128=pad,
+        )
+        return np.asarray(logits), np.asarray(total)
+
+    lo, to = run(False)
+    lp, tp_ = run(True)
+    np.testing.assert_array_equal(to, tp_)
+    np.testing.assert_allclose(lo, lp, rtol=1e-4, atol=1e-5)
+
+
 def test_valle_ar_remat_grad():
     rng = np.random.default_rng(5)
     inp = _inputs(rng)
