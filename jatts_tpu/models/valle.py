@@ -211,16 +211,16 @@ class VALLEBase(nn.Module):
         benchmarks/bench_nar_isolate.py).
 
         ``pad_to_128=True`` pads the packed length to a multiple of 128
-        before the blocks (pad rows fully masked, sliced off on return) —
-        awkward packed lengths tax XLA's tiling hard (the 12 blocks at
-        S=547 measured ~2x the S=512 cost at B=32,
-        benchmarks/bench_nar_trunk_stages.py); semantically inert on valid
-        rows — masked keys contribute exp(-1e9)=0 to the softmax; only
-        reduction-order jitter (~1e-6) from the changed contraction tiling.
-        Decode paths enable it; the training path keeps its exact shapes
-        (padding there would change dropout-rng geometry and the pinned
-        parity trajectories — enable per-config if train steps show the
-        same awkward-length tax)."""
+        before the blocks (pad rows fully masked, sliced off on return;
+        semantically inert on valid rows — masked keys contribute
+        exp(-1e9)=0 to the softmax; only reduction-order jitter ~1e-6 from
+        the changed contraction tiling, test_trunk_pad_to_128_exact).
+        NEGATIVE RESULT — left opt-in, nothing enables it: padding the NAR
+        serving pass S=547->640 measured 19% SLOWER at B=32 (561->669 ms,
+        benchmarks/bench_valle_fused_profile.py) — the extra pad-row FLOPs
+        with no tiling win; XLA handles the awkward 547 fine in the real
+        program (the earlier 547-vs-512 "2x tax" reading came from a
+        dispatch-overhead-polluted single-shot measurement)."""
         b = text.shape[0]
         e_text = self.text_emb(text)
         e_prom = self._multi_embed(
@@ -342,15 +342,6 @@ class VALLEAR(VALLEBase):
         )
         x = x[:, : tx + 1 + tp + 1]  # drop resp capacity
         x = self.sin_emb(x)
-        sp_orig = x.shape[1]
-        # pad the prefill COMPUTE to a 128-multiple (awkward lengths tax
-        # XLA's tiling ~2x — see trunk's pad_to_128), but slice the K/V
-        # caches back to the exact prefix capacity: the decode scan reads
-        # the prefix caches every step, and 93 dead slots would add ~30%
-        # prefix KV traffic to all 256 steps for nothing
-        s_pad = -sp_orig % 128
-        if s_pad:
-            x = jnp.pad(x, ((0, 0), (0, s_pad), (0, 0)))
         m = sequence_mask(prefix_len, x.shape[1], x.dtype)[..., None]
 
         caches_k, caches_v = [], []
@@ -360,8 +351,8 @@ class VALLEAR(VALLEBase):
             # per-layer to_qkv projection runs ONCE (it used to run again
             # inside block())
             h, k, v = block.prefill(h, m)
-            caches_k.append(k[:, :sp_orig])
-            caches_v.append(v[:, :sp_orig])
+            caches_k.append(k)
+            caches_v.append(v)
         # gather the last prefix row FIRST (broadcast row gather), classify
         # only that row — the full-prefix [B, S, V] f32 classifier was
         # wasted on positions never read (cf. nar_generate's same fix)
@@ -623,7 +614,7 @@ class VALLENAR(VALLEBase):
             q = jnp.full((b,), level, jnp.int32)
             hidden, total = mdl.trunk(
                 text, text_lens, proms, prom_lens, codes, resp_lens,
-                q + 1, q, True, return_hidden=True, pad_to_128=True,
+                q + 1, q, True, return_hidden=True,
             )
             # gather the resp-region HIDDEN rows (broadcast index -> a row
             # gather), then classify just those rows. A take_along_axis on
