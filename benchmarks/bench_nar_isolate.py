@@ -1,7 +1,9 @@
 #!/usr/bin/env python3
 """Isolate the NAR generate inefficiency at serving shapes (B=32).
 
-nar_generate (7 levels via the lifted nn.scan) measured 1377 ms at B=32 —
+nar_generate (7 levels via the lifted nn.scan) measured 1377 ms at B=32
+before the hidden-row-gather fix (now 561 ms: the [B,Tr,V]-index logits
+gather was ~127 ms/level — see models/valle.py trunk return_hidden) —
 ~197 ms per level-pass = ~29 TF/s, vs the 75 TF/s the AR *training* step
 sustains at comparable token counts. Candidates: the lifted scan itself,
 the AdaLN norm, the full-sequence f32 classifier + the [B,Tr,V]-index
