@@ -134,6 +134,38 @@ def main(b=32, tr=256, tx=64, tp=225):
     for s_run in (s, 512, 640):
         marginal(mk_blocks(s_run), f"blk{s_run}")
 
+    # ---- flash-backend blocks: the materialized [B,H,S,S] score tensors
+    # are ~30 ms of the 70 ms XLA block cost at S=547 (25 GB/pass HBM);
+    # the forward-only Pallas kernel never materializes them. S=640
+    # (the %128 the trunk pads to), ragged valid mask as in serving.
+    model_f = VALLENAR(idim=0, n_tokens=1024, d_model=1024, n_heads=16,
+                       n_layers=12, dtype=jnp.bfloat16, attn_backend="flash")
+
+    def mk_blocks_flash(s_run):
+        x0 = jnp.asarray(
+            np.random.default_rng(1).normal(size=(b, s_run, d)), jnp.bfloat16)
+
+        def blocks_once(mdl, x):
+            q = jnp.full((b,), 3, jnp.int32)
+            m = sequence_mask(total, x.shape[1], x.dtype)[..., None]
+            for block in mdl.blocks:
+                x = block(x, m, q, True)
+            return x
+
+        def mk(k):
+            def run(v, seed):
+                def body(x, _):
+                    x = model_f.apply(v, x, method=blocks_once)
+                    return x * jnp.bfloat16(0.05), None
+
+                x, _ = jax.lax.scan(
+                    body, x0 + jnp.bfloat16(seed % 2), None, length=k)
+                return x.sum()
+            return run
+        return mk
+
+    marginal(mk_blocks_flash(640), "blk640-flash")
+
     # ---- head (gather + classifier + sample) stage --------------------
     x0 = jnp.asarray(rng.normal(size=(b, s, d)), jnp.bfloat16)
 
